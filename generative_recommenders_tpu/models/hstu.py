@@ -1,0 +1,247 @@
+"""HSTU encoder (research stack), TPU-native.
+
+Implements the paper model from `research/modeling/sequential/hstu.py`
+("Actions Speak Louder than Words", ICML'24) as flax modules over the XLA /
+Pallas HSTU-attention ops:
+
+  per layer:  x + Dropout(Linear( u * LN(attn) ))
+     where    [u, v, q, k] = split(silu(LN(x) @ W_uvqk))
+              attn = (silu(q k^T + rel_bias) / N) · causal_mask @ v
+
+Layout is padded-dense [B, N, D] (N = max_sequence_len + max_output_len); the
+jagged compute saving is recovered inside the Pallas attention kernel via
+length-aware block skipping.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from generative_recommenders_tpu.ops.attention_mask import make_causal_mask
+from generative_recommenders_tpu.ops.normalization import layer_norm
+from generative_recommenders_tpu.ops.xla.hstu_attention import hstu_mha_dense
+
+
+class RelativePositionalBias(nn.Module):
+    """Pure relative-position toeplitz bias (`hstu.py:66-84`):
+    bias[i, j] = w[j - i + N - 1]."""
+
+    max_seq_len: int
+
+    @nn.compact
+    def __call__(self, all_timestamps: Optional[jax.Array]) -> jax.Array:
+        N = self.max_seq_len
+        w = self.param(
+            "w", nn.initializers.normal(0.02), (2 * N - 1,), jnp.float32
+        )
+        i = jnp.arange(N, dtype=jnp.int32)
+        rel = i[None, :] - i[:, None] + N - 1  # [N, N] in [0, 2N-2]
+        return jnp.take(w, rel, axis=0)[None, :, :]  # [1, N, N]
+
+
+class RelativeBucketedTimeAndPositionBasedBias(nn.Module):
+    """Relative position + bucketized-timespan bias (`hstu.py:87-144`).
+
+    ts bias term [b, i, j] = ts_w[bucket(ts[b, min(i+1, N-1)] - ts[b, j])]
+    with bucket(x) = clip(floor(log(max(|x|, 1)) / 0.301), 0, num_buckets).
+    """
+
+    max_seq_len: int
+    num_buckets: int = 128
+
+    @nn.compact
+    def __call__(self, all_timestamps: jax.Array) -> jax.Array:
+        N = self.max_seq_len
+        ts_w = self.param(
+            "ts_w", nn.initializers.normal(0.02), (self.num_buckets + 1,), jnp.float32
+        )
+        pos_w = self.param(
+            "pos_w", nn.initializers.normal(0.02), (2 * N - 1,), jnp.float32
+        )
+        i = jnp.arange(N, dtype=jnp.int32)
+        rel = i[None, :] - i[:, None] + N - 1
+        rel_pos_bias = jnp.take(pos_w, rel, axis=0)[None, :, :]  # [1, N, N]
+
+        ts = all_timestamps.astype(jnp.float32)  # [B, N]
+        ext = jnp.concatenate([ts, ts[:, N - 1 : N]], axis=1)  # [B, N + 1]
+        dt = ext[:, 1:, None] - ext[:, None, :-1]  # [B, N, N]
+        bucketed = jnp.clip(
+            jnp.floor(jnp.log(jnp.maximum(jnp.abs(dt), 1.0)) / 0.301).astype(
+                jnp.int32
+            ),
+            0,
+            self.num_buckets,
+        )
+        bucketed = jax.lax.stop_gradient(bucketed)
+        rel_ts_bias = jnp.take(ts_w, bucketed, axis=0)  # [B, N, N]
+        return rel_pos_bias + rel_ts_bias
+
+
+class SequentialTransductionUnit(nn.Module):
+    """One HSTU block (`hstu.py:226-444`), padded-dense layout."""
+
+    embedding_dim: int
+    linear_dim: int  # dv
+    attention_dim: int  # dqk
+    num_heads: int
+    dropout_ratio: float
+    attn_dropout_ratio: float = 0.0
+    linear_activation: str = "silu"
+    concat_ua: bool = False
+    enable_relative_attention_bias: bool = True
+    relative_bias_num_buckets: int = 128
+    normalization: str = "rel_bias"
+    epsilon: float = 1e-6
+    attn_kernel: str = "xla"  # "xla" | "pallas"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, N, D]
+        lengths: jax.Array,  # int[B] (used by the pallas kernel for block skip)
+        all_timestamps: Optional[jax.Array],  # int[B, N]
+        mask: Optional[jax.Array],  # [N, N] or [B, N, N]; None => causal
+        deterministic: bool = False,
+    ) -> jax.Array:
+        B, N, D = x.shape
+        H, dqk, dv = self.num_heads, self.attention_dim, self.linear_dim
+        normed_x = layer_norm(x, eps=self.epsilon)  # non-affine (hstu.py:276-277)
+
+        uvqk_w = self.param(
+            "uvqk",
+            nn.initializers.normal(0.02),
+            (D, dv * H * 2 + dqk * H * 2),
+            jnp.float32,
+        )
+        mixed = jnp.einsum(
+            "bnd,de->bne", normed_x, uvqk_w, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        if self.linear_activation == "silu":
+            mixed = jax.nn.silu(mixed)
+        elif self.linear_activation != "none":
+            raise ValueError(f"Unknown linear_activation {self.linear_activation}")
+        u, v, q, k = jnp.split(mixed, [dv * H, 2 * dv * H, 2 * dv * H + dqk * H], axis=-1)
+
+        bias = None
+        if self.normalization in ("rel_bias", "hstu_rel_bias") and (
+            self.enable_relative_attention_bias
+        ):
+            if all_timestamps is not None:
+                bias = RelativeBucketedTimeAndPositionBasedBias(
+                    max_seq_len=N,
+                    num_buckets=self.relative_bias_num_buckets,
+                    name="rel_attn_bias",
+                )(all_timestamps)
+            else:
+                bias = RelativePositionalBias(max_seq_len=N, name="rel_attn_bias")(
+                    None
+                )
+            bias = jnp.broadcast_to(bias, (B, N, N))
+
+        dropout_rng = None
+        if self.attn_dropout_ratio > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+
+        if self.attn_kernel == "pallas":
+            from generative_recommenders_tpu.ops.pallas.hstu_attention import (
+                hstu_mha_dense_pallas,
+            )
+
+            attn = hstu_mha_dense_pallas(
+                q.reshape(B, N, H, dqk),
+                k.reshape(B, N, H, dqk),
+                v.reshape(B, N, H, dv),
+                lengths=lengths,
+                alpha=1.0,
+                max_seq_len=N,
+                bias=bias,
+                causal=True,
+            )
+        else:
+            attn = hstu_mha_dense(
+                q.reshape(B, N, H, dqk),
+                k.reshape(B, N, H, dqk),
+                v.reshape(B, N, H, dv),
+                alpha=1.0,
+                max_seq_len=N,
+                mask=(mask[None] if mask is not None and mask.ndim == 2 else mask),
+                bias=bias,
+                dropout_pr=0.0 if deterministic else self.attn_dropout_ratio,
+                dropout_rng=dropout_rng,
+            )
+        attn = attn.reshape(B, N, H * dv)
+
+        if self.concat_ua:
+            a = layer_norm(attn, eps=self.epsilon)
+            o_input = jnp.concatenate([u, a, u * a], axis=-1)
+        else:
+            o_input = u * layer_norm(attn, eps=self.epsilon)
+
+        o_input = nn.Dropout(self.dropout_ratio)(o_input, deterministic=deterministic)
+        fan_in = dv * H * (3 if self.concat_ua else 1)
+        bound = 1.0 / fan_in**0.5
+
+        def _torch_linear_bias_init(key, shape, dtype=jnp.float32):
+            # torch Linear default bias ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        out = nn.Dense(
+            D,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=_torch_linear_bias_init,
+            name="o",
+        )(o_input)
+        return out + x
+
+
+class HSTUEncoder(nn.Module):
+    """Stack of SequentialTransductionUnits (`hstu.py:447-540`).
+
+    Input/output are padded-dense [B, N, D]; pads are never read downstream
+    (loss masks them; `encode` gathers position lengths-1).
+    """
+
+    embedding_dim: int
+    num_blocks: int
+    num_heads: int
+    attention_dim: int  # dqk
+    linear_dim: int  # dv
+    linear_dropout_rate: float
+    attn_dropout_rate: float = 0.0
+    linear_activation: str = "silu"
+    enable_relative_attention_bias: bool = True
+    concat_ua: bool = False
+    normalization: str = "rel_bias"
+    attn_kernel: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self,
+        user_embeddings: jax.Array,  # [B, N, D] (already preprocessed)
+        lengths: jax.Array,
+        all_timestamps: Optional[jax.Array],
+        deterministic: bool = False,
+    ) -> jax.Array:
+        B, N, D = user_embeddings.shape
+        mask = make_causal_mask(N, dtype=jnp.bool_)
+        x = user_embeddings
+        for i in range(self.num_blocks):
+            x = SequentialTransductionUnit(
+                embedding_dim=D,
+                linear_dim=self.linear_dim,
+                attention_dim=self.attention_dim,
+                num_heads=self.num_heads,
+                dropout_ratio=self.linear_dropout_rate,
+                attn_dropout_ratio=self.attn_dropout_rate,
+                linear_activation=self.linear_activation,
+                concat_ua=self.concat_ua,
+                enable_relative_attention_bias=self.enable_relative_attention_bias,
+                normalization=self.normalization,
+                attn_kernel=self.attn_kernel,
+                name=f"layer_{i}",
+            )(x, lengths, all_timestamps, mask, deterministic=deterministic)
+        return x

@@ -1,0 +1,198 @@
+"""Top-level sequential recommender: embedding + input preproc + encoder +
+output postproc + similarity.
+
+TPU twin of `research/modeling/similarity_module.py:23-67`
+(SequentialEncoderWithLearnedSimilarityModule) wiring HSTU or SASRec, as
+assembled by `research/modeling/sequential/encoder_utils.py:37-150` and
+`research/trainer/train.py:170-216`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from generative_recommenders_tpu.models.embeddings import LocalEmbeddingModule
+from generative_recommenders_tpu.models.hstu import HSTUEncoder
+from generative_recommenders_tpu.models.postprocessors import (
+    make_output_postprocessor,
+)
+from generative_recommenders_tpu.models.preprocessors import (
+    LearnablePositionalEmbeddingInputFeaturesPreprocessor,
+)
+from generative_recommenders_tpu.models.sasrec import SASRecEncoder
+from generative_recommenders_tpu.models.similarity import dot_product_similarity
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Dataclass replacement for the reference's gin-wired encoder params
+    (`encoder_utils.py:37-150` + frozen `configs/*/*.gin`)."""
+
+    main_module: str = "HSTU"  # "HSTU" | "SASRec"
+    num_items: int = 1000
+    max_sequence_len: int = 200
+    gr_output_length: int = 10  # extra output slots; total N = max_seq + gr + 1
+    item_embedding_dim: int = 50
+    num_blocks: int = 8
+    num_heads: int = 2
+    dqk: int = 25
+    dv: int = 25
+    linear_dropout_rate: float = 0.2
+    attn_dropout_rate: float = 0.0
+    dropout_rate: float = 0.2  # input preproc dropout
+    user_embedding_norm: str = "l2_norm"
+    enable_relative_attention_bias: bool = True
+    linear_activation: str = "silu"
+    concat_ua: bool = False
+    # SASRec-only
+    ffn_hidden_dim: int = 64
+    ffn_activation_fn: str = "relu"
+    attn_kernel: str = "xla"  # "xla" | "pallas"
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+
+    @property
+    def total_seq_len(self) -> int:
+        return self.max_sequence_len + self.gr_output_length + 1
+
+
+class SequentialRecommender(nn.Module):
+    """Encoder + learned-similarity retrieval model.
+
+    Methods mirror the reference interface:
+      * get_item_embeddings(ids)         (`similarity_module.py:40`)
+      * __call__(...) -> [B, N, D]       (HSTU.forward, `hstu.py:711`)
+      * encode(...)   -> [B, D]          (HSTU.encode, `hstu.py:779`)
+      * similarity_fn(query, items)      (`similarity_module.py:47`)
+    """
+
+    config: ModelConfig
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.embedding_module = LocalEmbeddingModule(
+            num_items=cfg.num_items, embedding_dim=cfg.item_embedding_dim
+        )
+        self.input_preproc = LearnablePositionalEmbeddingInputFeaturesPreprocessor(
+            max_sequence_len=cfg.total_seq_len,
+            embedding_dim=cfg.item_embedding_dim,
+            dropout_rate=cfg.dropout_rate,
+            pos_emb_init=(
+                "xavier_normal" if cfg.main_module == "HSTU" else "truncated_normal"
+            ),
+        )
+        if cfg.main_module == "HSTU":
+            self.encoder = HSTUEncoder(
+                embedding_dim=cfg.item_embedding_dim,
+                num_blocks=cfg.num_blocks,
+                num_heads=cfg.num_heads,
+                attention_dim=cfg.dqk,
+                linear_dim=cfg.dv,
+                linear_dropout_rate=cfg.linear_dropout_rate,
+                attn_dropout_rate=cfg.attn_dropout_rate,
+                linear_activation=cfg.linear_activation,
+                enable_relative_attention_bias=cfg.enable_relative_attention_bias,
+                concat_ua=cfg.concat_ua,
+                attn_kernel=cfg.attn_kernel,
+            )
+        elif cfg.main_module == "SASRec":
+            self.encoder = SASRecEncoder(
+                embedding_dim=cfg.item_embedding_dim,
+                num_blocks=cfg.num_blocks,
+                num_heads=cfg.num_heads,
+                ffn_hidden_dim=cfg.ffn_hidden_dim,
+                ffn_activation_fn=cfg.ffn_activation_fn,
+                ffn_dropout_rate=cfg.linear_dropout_rate,
+            )
+        else:
+            raise ValueError(f"Unknown main_module {cfg.main_module}")
+        self.output_postproc = make_output_postprocessor(
+            cfg.user_embedding_norm, cfg.item_embedding_dim
+        )
+
+    def get_item_embeddings(self, item_ids: jax.Array) -> jax.Array:
+        return self.embedding_module(item_ids)
+
+    def initialize(
+        self,
+        past_lengths: jax.Array,
+        past_ids: jax.Array,
+        past_payloads: Dict[str, jax.Array],
+    ) -> jax.Array:
+        """Touches every submodule so ``model.init(..., method='initialize')``
+        creates the full parameter tree."""
+        emb = self.get_item_embeddings(past_ids)
+        return self.generate_user_embeddings(
+            past_lengths, past_ids, emb, past_payloads, deterministic=True
+        )
+
+    def generate_user_embeddings(
+        self,
+        past_lengths: jax.Array,
+        past_ids: jax.Array,
+        past_embeddings: jax.Array,
+        past_payloads: Dict[str, jax.Array],
+        deterministic: bool = False,
+    ) -> jax.Array:
+        cfg = self.config
+        lengths, user_embeddings, valid_mask = self.input_preproc(
+            past_lengths, past_ids, past_embeddings, past_payloads,
+            deterministic=deterministic,
+        )
+        if cfg.compute_dtype == "bfloat16":
+            user_embeddings = user_embeddings.astype(jnp.bfloat16)
+        timestamps = past_payloads.get("timestamps") if (
+            cfg.main_module == "HSTU" and cfg.enable_relative_attention_bias
+        ) else None
+        if cfg.main_module == "SASRec":
+            encoded = self.encoder(
+                user_embeddings, lengths, None,
+                deterministic=deterministic, valid_mask=valid_mask,
+            )
+        else:
+            encoded = self.encoder(
+                user_embeddings, lengths, timestamps, deterministic=deterministic
+            )
+        return self.output_postproc(encoded.astype(jnp.float32))
+
+    def __call__(
+        self,
+        past_lengths: jax.Array,
+        past_ids: jax.Array,
+        past_embeddings: jax.Array,
+        past_payloads: Dict[str, jax.Array],
+        deterministic: bool = False,
+    ) -> jax.Array:
+        return self.generate_user_embeddings(
+            past_lengths, past_ids, past_embeddings, past_payloads, deterministic
+        )
+
+    def encode(
+        self,
+        past_lengths: jax.Array,
+        past_ids: jax.Array,
+        past_embeddings: jax.Array,
+        past_payloads: Dict[str, jax.Array],
+        deterministic: bool = True,
+    ) -> jax.Array:
+        encoded = self.generate_user_embeddings(
+            past_lengths, past_ids, past_embeddings, past_payloads, deterministic
+        )  # [B, N, D]
+        return get_current_embeddings(past_lengths, encoded)
+
+    def similarity_fn(
+        self, query_embeddings: jax.Array, item_embeddings: jax.Array
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        return dot_product_similarity(query_embeddings, item_embeddings)
+
+
+def get_current_embeddings(lengths: jax.Array, encoded: jax.Array) -> jax.Array:
+    """[b, :] = encoded[b, lengths[b] - 1, :]
+    (`research/modeling/sequential/utils.py:83-96`)."""
+    B, N, D = encoded.shape
+    idx = jnp.clip(lengths - 1, 0, N - 1).reshape(B, 1, 1)
+    return jnp.take_along_axis(encoded, jnp.broadcast_to(idx, (B, 1, D)), axis=1)[:, 0]

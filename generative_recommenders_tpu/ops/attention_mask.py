@@ -1,0 +1,75 @@
+"""HSTU attention validity mask.
+
+Replicates the semantics of the reference's eager spec `_get_valid_attn_mask`
+(`generative_recommenders/ops/pytorch/pt_hstu_attention.py:32-84`) in pure jnp:
+
+  * causal (row >= col) with the diagonal always valid,
+  * target-aware masking: the last ``num_targets[b]`` rows of a sequence are
+    "candidates"; their effective position is clamped to the last
+    non-target position so every candidate attends to the full history but
+    not to other candidates (the M-FALCON trick),
+  * local attention window ``max_attn_len`` with an optional
+    ``min_full_attn_seq_len`` recent full-attention window,
+  * ``contextual_seq_len`` prefix rows that attend to (and are attended by)
+    the whole valid sequence.
+
+This is the single source of truth used by the XLA reference kernel, the
+Pallas kernels' differential tests, and the model-level invariance tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def make_valid_attn_mask(
+    N: int,
+    seq_lengths: jax.Array,  # int[B]
+    causal: bool = True,
+    num_targets: Optional[jax.Array] = None,  # int[B]
+    max_attn_len: int = 0,
+    contextual_seq_len: int = 0,
+    min_full_attn_seq_len: int = 0,
+) -> jax.Array:
+    """Returns bool[B, N, N]; entry [b, i, j] == True iff query i may attend key j."""
+    B = seq_lengths.shape[0]
+    ids = jnp.arange(N, dtype=jnp.int32)[None, :]  # [1, N]
+    max_ids = seq_lengths.reshape(B, 1, 1).astype(jnp.int32)
+    if contextual_seq_len > 0:
+        ids = jnp.maximum(ids - contextual_seq_len + 1, 0)
+        max_ids = max_ids - contextual_seq_len + 1
+    if num_targets is not None:
+        max_ids = max_ids - num_targets.reshape(B, 1, 1).astype(jnp.int32)
+        ids_b = jnp.minimum(ids[:, None, :], max_ids)  # [B, 1, N] clamped per batch
+        row_ids = jnp.broadcast_to(jnp.swapaxes(ids_b, 1, 2), (B, N, N))
+        col_ids = jnp.broadcast_to(ids_b, (B, N, N))
+    else:
+        row_ids = jnp.broadcast_to(ids.reshape(1, N, 1), (B, N, N))
+        col_ids = jnp.broadcast_to(ids.reshape(1, 1, N), (B, N, N))
+    row_col_dist = row_ids - col_ids
+    if not causal:
+        row_col_dist = jnp.abs(row_col_dist)
+    valid = jnp.logical_or(
+        jnp.eye(N, dtype=jnp.bool_)[None, :, :], row_col_dist > 0
+    )
+    if max_attn_len > 0:
+        window = row_col_dist <= max_attn_len
+        if min_full_attn_seq_len > 0:
+            window = jnp.logical_or(
+                window, row_ids >= max_ids - min_full_attn_seq_len
+            )
+        valid = jnp.logical_and(valid, window)
+    if contextual_seq_len > 0:
+        valid = jnp.logical_or(
+            valid, jnp.logical_and(row_ids == 0, col_ids < max_ids)
+        )
+    return valid
+
+
+def make_causal_mask(N: int, dtype=jnp.float32) -> jax.Array:
+    """Lower-triangular (inclusive) [N, N] mask used by the research-stack models
+    (`research/modeling/sequential/hstu.py:626-638`: 1 - triu(ones, 1))."""
+    return jnp.tril(jnp.ones((N, N), dtype=dtype))
