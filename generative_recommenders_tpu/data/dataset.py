@@ -1,0 +1,203 @@
+"""Sequence datasets (host side, numpy).
+
+TPU twin of `research/data/dataset.py:27-249` (DatasetV2 / MultiFileDatasetV2).
+Rows come from a `sasrec_format.csv`-compatible source (columns: user_id,
+sequence_item_ids, sequence_ratings, sequence_timestamps — python-literal
+lists, chronological order) or from the in-repo synthetic generator.
+
+Semantics replicated:
+  * reverse-chronological split: target = most recent event, history = rest,
+  * ``ignore_last_n`` drops the last n events (train vs eval split),
+  * ``chronological=True`` emits history oldest-first,
+  * ``sample_ratio`` keeps each event w.p. ratio (positional sampling),
+  * pad/truncate history to ``max_sequence_length`` (padding_length - 1).
+"""
+
+from __future__ import annotations
+
+import ast
+import csv
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class UserSequences:
+    """Column store of per-user event sequences (chronological)."""
+
+    user_ids: np.ndarray  # int64[U]
+    item_ids: List[np.ndarray]  # U arrays, chronological
+    ratings: List[np.ndarray]
+    timestamps: List[np.ndarray]
+
+    def __len__(self) -> int:
+        return len(self.item_ids)
+
+
+def load_sasrec_format_csv(path: str) -> UserSequences:
+    """Parses the reference's preprocessed `sasrec_format.csv`
+    (written by `research/data/preprocessor.py:146-212`)."""
+    users, items, ratings, ts = [], [], [], []
+    with open(path, newline="") as f:
+        reader = csv.DictReader(f)
+        for row in reader:
+            users.append(int(row["user_id"]))
+
+            def parse(x: str) -> np.ndarray:
+                v = ast.literal_eval(x)
+                if isinstance(v, int):
+                    v = [v]
+                return np.asarray(list(v), dtype=np.int64)
+
+            items.append(parse(row["sequence_item_ids"]))
+            ratings.append(parse(row["sequence_ratings"]))
+            ts.append(parse(row["sequence_timestamps"]))
+    return UserSequences(
+        user_ids=np.asarray(users, dtype=np.int64),
+        item_ids=items,
+        ratings=ratings,
+        timestamps=ts,
+    )
+
+
+def synthetic_user_sequences(
+    num_users: int,
+    num_items: int,
+    max_len: int = 60,
+    min_len: int = 5,
+    latent_dim: int = 16,
+    seed: int = 0,
+) -> UserSequences:
+    """Learnable synthetic corpus: items carry latent factors; each user walks
+    item-space with next ~ softmax(z_items @ (u + 0.5 * z_prev)).  A sequence
+    model can beat popularity on this, so HR@k improving over training is a
+    meaningful smoke signal (fixture analogue of the reference's random debug
+    dataset `dlrm_v3/datasets/dataset.py:170-244`, but with learnable signal).
+    """
+    rng = np.random.default_rng(seed)
+    z = rng.standard_normal((num_items + 1, latent_dim)).astype(np.float32)
+    z[0] = 0.0
+    items, ratings, ts = [], [], []
+    lengths = rng.integers(min_len, max_len + 1, size=num_users)
+    for u in range(num_users):
+        n = int(lengths[u])
+        uvec = rng.standard_normal((latent_dim,)).astype(np.float32)
+        seq = np.empty((n,), dtype=np.int64)
+        prev = np.zeros((latent_dim,), np.float32)
+        # sample from a candidate pool per step to keep generation cheap
+        for i in range(n):
+            cands = rng.integers(1, num_items + 1, size=64)
+            logits = z[cands] @ (uvec + 0.5 * prev)
+            p = np.exp(logits - logits.max())
+            p /= p.sum()
+            pick = cands[rng.choice(64, p=p)]
+            seq[i] = pick
+            prev = z[pick]
+        items.append(seq)
+        ratings.append(rng.integers(1, 6, size=n).astype(np.int64))
+        base = rng.integers(1_000_000_000, 1_100_000_000)
+        ts.append(base + np.cumsum(rng.integers(60, 86400, size=n)).astype(np.int64))
+    return UserSequences(
+        user_ids=np.arange(1, num_users + 1, dtype=np.int64),
+        item_ids=items,
+        ratings=ratings,
+        timestamps=ts,
+    )
+
+
+class SequenceDataset:
+    """Padded fixed-length rows from UserSequences — DatasetV2 semantics
+    (`research/data/dataset.py:60-191`)."""
+
+    def __init__(
+        self,
+        sequences: UserSequences,
+        max_sequence_length: int,
+        ignore_last_n: int,
+        chronological: bool = True,
+        sample_ratio: float = 1.0,
+        seed: int = 0,
+    ) -> None:
+        self._seq = sequences
+        self._max_seq_len = max_sequence_length
+        self._ignore_last_n = ignore_last_n
+        self._chronological = chronological
+        self._sample_ratio = sample_ratio
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self._seq)
+
+    def get_row(self, idx: int) -> Dict[str, np.ndarray]:
+        items = self._seq.item_ids[idx]
+        ratings = self._seq.ratings[idx]
+        ts = self._seq.timestamps[idx]
+        if self._ignore_last_n > 0:
+            items = items[: -self._ignore_last_n]
+            ratings = ratings[: -self._ignore_last_n]
+            ts = ts[: -self._ignore_last_n]
+        if self._sample_ratio < 1.0 and len(items) > 1:
+            keep = self._rng.random(len(items)) < self._sample_ratio
+            keep[-1] = True  # never drop the target
+            items, ratings, ts = items[keep], ratings[keep], ts[keep]
+        # target = most recent event; history = all prior events.
+        target_id, target_rating, target_ts = (
+            int(items[-1]), int(ratings[-1]), int(ts[-1]),
+        )
+        hist_items, hist_ratings, hist_ts = items[:-1], ratings[:-1], ts[:-1]
+        N = self._max_seq_len
+        n = min(len(hist_items), N)
+        if not self._chronological:
+            hist_items = hist_items[::-1]
+            hist_ratings = hist_ratings[::-1]
+            hist_ts = hist_ts[::-1]
+            sl = slice(0, n)
+        else:
+            sl = slice(len(hist_items) - n, len(hist_items))
+
+        def pad(x: np.ndarray) -> np.ndarray:
+            out = np.zeros((N,), dtype=np.int64)
+            out[:n] = x[sl]
+            return out
+
+        return {
+            "user_id": np.int64(self._seq.user_ids[idx]),
+            "historical_ids": pad(hist_items),
+            "historical_ratings": pad(hist_ratings),
+            "historical_timestamps": pad(hist_ts),
+            "history_lengths": np.int64(n),
+            "target_ids": np.int64(target_id),
+            "target_ratings": np.int64(target_rating),
+            "target_timestamps": np.int64(target_ts),
+        }
+
+    def all_item_ids(self) -> np.ndarray:
+        ids = np.unique(np.concatenate(self._seq.item_ids))
+        return ids[ids > 0]
+
+
+def batch_iterator(
+    dataset: SequenceDataset,
+    batch_size: int,
+    shuffle: bool,
+    seed: int = 0,
+    drop_last: bool = True,
+    num_shards: int = 1,
+    shard_index: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yields stacked numpy batches; shards rows round-robin across hosts
+    (DistributedSampler twin, `research/trainer/data_loader.py:25-57`)."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    order = order[shard_index::num_shards]
+    n_full = len(order) // batch_size
+    end = n_full * batch_size if drop_last else len(order)
+    for start in range(0, end, batch_size):
+        idxs = order[start : start + batch_size]
+        if len(idxs) < batch_size and drop_last:
+            break
+        rows = [dataset.get_row(int(i)) for i in idxs]
+        yield {k: np.stack([r[k] for r in rows]) for k in rows[0]}

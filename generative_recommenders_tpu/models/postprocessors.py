@@ -16,8 +16,10 @@ def l2_norm_postprocess(
     output_embeddings: jax.Array, embedding_dim: int, eps: float = 1e-6
 ) -> jax.Array:
     x = output_embeddings[..., :embedding_dim]
-    norm = jnp.linalg.norm(x, ord=2, axis=-1, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    # clamp before sqrt: identical values to x / clamp(||x||, min=eps) but
+    # finite gradient at x == 0 (padding rows).
+    sum_sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sum_sq, eps * eps))
 
 
 def layer_norm_postprocess(

@@ -19,10 +19,14 @@ import jax.numpy as jnp
 
 
 def maybe_l2_norm(x: jax.Array, l2_norm: bool, eps: float) -> jax.Array:
+    """x / max(||x||, eps) — clamped BEFORE the sqrt so the gradient at x == 0
+    (padding embeddings) is finite. Values identical to the reference's
+    x / clamp(norm, min=eps) (`autoregressive_losses.py:39-45`)."""
     if not l2_norm:
         return x
-    norm = jnp.linalg.norm(x, ord=2, axis=-1, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    sum_sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sum_sq, eps * eps))
+    return x / norm
 
 
 class LocalNegativesSampler(NamedTuple):

@@ -1,0 +1,335 @@
+"""Research training loop: jitted train/eval steps + epoch driver.
+
+TPU twin of `research/trainer/train.py:73-537` (train_fn). DDP disappears
+into sharding: the steps below are pure jitted functions; the distributed
+variant wraps them with NamedSharding over a mesh (see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from generative_recommenders_tpu.data.dataset import (
+    SequenceDataset,
+    batch_iterator,
+)
+from generative_recommenders_tpu.data.features import (
+    scatter_target_into_ids,
+    seq_features_from_row,
+)
+from generative_recommenders_tpu.models.losses import (
+    bce_loss,
+    sampled_softmax_loss,
+)
+from generative_recommenders_tpu.models.samplers import (
+    InBatchNegativesSampler,
+    LocalNegativesSampler,
+    maybe_l2_norm,
+)
+from generative_recommenders_tpu.models.sequential import (
+    ModelConfig,
+    SequentialRecommender,
+)
+from generative_recommenders_tpu.train.eval_metrics import (
+    MAX_K,
+    MetricsAccumulator,
+    build_id_to_col,
+    metrics_from_ranks,
+    target_ranks,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors the gin-configurable `train_fn` signature
+    (`research/trainer/train.py:98-136`) as a dataclass."""
+
+    model: ModelConfig
+    local_batch_size: int = 128
+    eval_batch_size: int = 128
+    num_epochs: int = 101
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    num_warmup_steps: int = 0
+    sampling_strategy: str = "local"  # "local" | "in-batch"
+    loss_module: str = "SampledSoftmaxLoss"  # | "BCELoss"
+    num_negatives: int = 128
+    temperature: float = 0.05
+    item_l2_norm: bool = True
+    l2_norm_eps: float = 1e-6
+    eval_interval: int = 100
+    full_eval_every_n: int = 1
+    partial_eval_num_iters: int = 32
+    random_seed: int = 42
+
+
+class ResearchTrainer:
+    """Owns the model, optimizer, jitted steps and the eval state."""
+
+    def __init__(self, cfg: TrainConfig, all_item_ids: np.ndarray) -> None:
+        self.cfg = cfg
+        self.model = SequentialRecommender(cfg.model)
+        self.all_item_ids = np.asarray(all_item_ids, dtype=np.int32)
+        self._id_to_col = jnp.asarray(
+            build_id_to_col(self.all_item_ids, cfg.model.num_items)
+        )
+        schedule: Any
+        if cfg.num_warmup_steps > 0:
+            schedule = optax.join_schedules(
+                [
+                    optax.linear_schedule(
+                        cfg.learning_rate / cfg.num_warmup_steps,
+                        cfg.learning_rate,
+                        cfg.num_warmup_steps,
+                    ),
+                    optax.constant_schedule(cfg.learning_rate),
+                ],
+                [cfg.num_warmup_steps],
+            )
+        else:
+            schedule = cfg.learning_rate
+        # AdamW β=(0.9, 0.98) per `research/trainer/train.py:272-277`.
+        self.tx = optax.adamw(
+            schedule, b1=0.9, b2=0.98, eps=1e-8, weight_decay=cfg.weight_decay
+        )
+        if cfg.sampling_strategy == "local":
+            self.sampler = LocalNegativesSampler(
+                all_item_ids=jnp.asarray(self.all_item_ids),
+                l2_norm=cfg.item_l2_norm,
+                l2_norm_eps=cfg.l2_norm_eps,
+            )
+        elif cfg.sampling_strategy == "in-batch":
+            self.sampler = InBatchNegativesSampler(
+                l2_norm=cfg.item_l2_norm,
+                l2_norm_eps=cfg.l2_norm_eps,
+                dedup_embeddings=True,
+            )
+        else:
+            raise ValueError(f"Unknown sampling_strategy {cfg.sampling_strategy}")
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._encode_step = jax.jit(self._encode_impl)
+        self._item_embs = jax.jit(self._item_embs_impl)
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, rng: jax.Array) -> Any:
+        cfg = self.cfg.model
+        B, N = self.cfg.local_batch_size, cfg.total_seq_len
+        dummy = {
+            "timestamps": jnp.zeros((B, N), jnp.int32),
+            "ratings": jnp.zeros((B, N), jnp.int32),
+        }
+        return self.model.init(
+            rng,
+            jnp.ones((B,), jnp.int32),
+            jnp.zeros((B, N), jnp.int32),
+            dummy,
+            method=SequentialRecommender.initialize,
+        )
+
+    def init_opt_state(self, params: Any) -> Any:
+        return self.tx.init(params)
+
+    # ------------------------------------------------------------- train step
+    def _loss(
+        self, params: Any, batch: Dict[str, jax.Array], rng: jax.Array
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        cfg = self.cfg
+        apply = self.model.apply
+        features, target_ids, _ = seq_features_from_row(
+            batch, max_output_length=cfg.model.gr_output_length + 1
+        )
+        past_ids = scatter_target_into_ids(
+            features.past_ids, features.past_lengths, target_ids
+        )
+        rng_drop, rng_neg = jax.random.split(rng)
+        input_embeddings = apply(
+            params, past_ids, method=SequentialRecommender.get_item_embeddings
+        )
+        seq_embeddings = apply(
+            params,
+            features.past_lengths,
+            past_ids,
+            input_embeddings,
+            features.past_payloads,
+            False,
+            rngs={"dropout": rng_drop},
+        )  # [B, N, D]
+
+        supervision_ids = past_ids  # [B, N]
+        output = seq_embeddings[:, :-1, :]
+        sup_ids = supervision_ids[:, 1:]
+        sup_emb = input_embeddings[:, 1:, :]
+        ar_mask = (sup_ids != 0).astype(jnp.float32)
+
+        if cfg.sampling_strategy == "in-batch":
+            flat_ids = supervision_ids.reshape(-1)
+            state = self.sampler.process_batch(
+                ids=flat_ids,
+                presences=flat_ids != 0,
+                embeddings=input_embeddings.reshape(-1, input_embeddings.shape[-1]),
+            )
+            neg_ids, neg_emb = self.sampler(
+                rng_neg, state, sup_ids,
+                1 if cfg.loss_module == "BCELoss" else cfg.num_negatives,
+            )
+        else:
+            emb_fn = lambda ids: apply(
+                params, ids, method=SequentialRecommender.get_item_embeddings
+            )
+            neg_ids, neg_emb = self.sampler(
+                rng_neg, sup_ids,
+                1 if cfg.loss_module == "BCELoss" else cfg.num_negatives,
+                emb_fn,
+            )
+
+        pos_emb = maybe_l2_norm(sup_emb, cfg.item_l2_norm, cfg.l2_norm_eps)
+        if cfg.loss_module == "SampledSoftmaxLoss":
+            loss, aux = sampled_softmax_loss(
+                output, pos_emb, sup_ids, ar_mask, neg_ids, neg_emb,
+                softmax_temperature=cfg.temperature,
+            )
+        elif cfg.loss_module == "BCELoss":
+            loss, aux = bce_loss(
+                output, pos_emb, sup_ids, ar_mask, neg_ids, neg_emb,
+                temperature=cfg.temperature,
+            )
+        else:
+            raise ValueError(f"Unknown loss_module {cfg.loss_module}")
+        return loss, aux
+
+    def _train_step_impl(
+        self, params: Any, opt_state: Any, batch: Dict[str, jax.Array], rng: jax.Array
+    ) -> Tuple[Any, Any, jax.Array]:
+        (loss, _aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            params, batch, rng
+        )
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def train_step(
+        self, params: Any, opt_state: Any, batch: Dict[str, np.ndarray], rng: jax.Array
+    ) -> Tuple[Any, Any, jax.Array]:
+        return self._train_step(params, opt_state, batch, rng)
+
+    # -------------------------------------------------------------- eval step
+    def _item_embs_impl(self, params: Any) -> jax.Array:
+        """Normalized candidate-corpus embeddings (`eval.py:54-66`)."""
+        embs = self.model.apply(
+            params,
+            jnp.asarray(self.all_item_ids),
+            method=SequentialRecommender.get_item_embeddings,
+        )
+        return maybe_l2_norm(embs, self.cfg.item_l2_norm, self.cfg.l2_norm_eps)
+
+    def _encode_impl(
+        self, params: Any, batch: Dict[str, jax.Array], item_embs: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        features, target_ids, target_ratings = seq_features_from_row(
+            batch, max_output_length=self.cfg.model.gr_output_length + 1
+        )
+        apply = self.model.apply
+        input_embeddings = apply(
+            params, features.past_ids,
+            method=SequentialRecommender.get_item_embeddings,
+        )
+        query = apply(
+            params,
+            features.past_lengths,
+            features.past_ids,
+            input_embeddings,
+            features.past_payloads,
+            True,
+            method=SequentialRecommender.encode,
+        )
+        k = min(MAX_K, int(self.all_item_ids.shape[0]))
+        ranks = target_ranks(
+            query, item_embs, self._id_to_col, target_ids[:, 0],
+            features.past_ids, k=k,
+        )
+        return ranks, target_ratings[:, 0]
+
+    def eval_epoch(
+        self,
+        params: Any,
+        eval_batches: Iterator[Dict[str, np.ndarray]],
+        max_iters: Optional[int] = None,
+    ) -> Dict[str, float]:
+        item_embs = self._item_embs(params)
+        acc = MetricsAccumulator()
+        for i, batch in enumerate(eval_batches):
+            ranks, ratings = self._encode_step(params, batch, item_embs)
+            acc.update(metrics_from_ranks(ranks, ratings))
+            if max_iters is not None and i + 1 >= max_iters:
+                break
+        return acc.compute()
+
+
+def train_loop(
+    cfg: TrainConfig,
+    train_dataset: SequenceDataset,
+    eval_dataset: SequenceDataset,
+    log_every: int = 100,
+    max_steps: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Epoch driver mirroring `train_fn`'s hot loop (`train.py:306-521`)."""
+    trainer = ResearchTrainer(cfg, train_dataset.all_item_ids())
+    rng = jax.random.PRNGKey(cfg.random_seed)
+    rng, init_rng = jax.random.split(rng)
+    params = trainer.init_params(init_rng)
+    opt_state = trainer.init_opt_state(params)
+
+    batch_id = 0
+    history = []
+    t0 = time.time()
+    for epoch in range(cfg.num_epochs):
+        for batch in batch_iterator(
+            train_dataset, cfg.local_batch_size, shuffle=True,
+            seed=cfg.random_seed + epoch,
+        ):
+            step_rng = jax.random.fold_in(rng, batch_id)
+            params, opt_state, loss = trainer.train_step(
+                params, opt_state, batch, step_rng
+            )
+            if batch_id % log_every == 0:
+                logger.info(
+                    "step %d (epoch %d, %.1fs): loss %.6f",
+                    batch_id, epoch, time.time() - t0, float(loss),
+                )
+            batch_id += 1
+            if max_steps is not None and batch_id >= max_steps:
+                break
+
+        is_full = (epoch % cfg.full_eval_every_n) == 0
+        metrics = trainer.eval_epoch(
+            params,
+            batch_iterator(
+                eval_dataset, cfg.eval_batch_size, shuffle=True,
+                seed=cfg.random_seed + epoch,
+            ),
+            max_iters=None if is_full else cfg.partial_eval_num_iters,
+        )
+        metrics["epoch"] = epoch
+        history.append(metrics)
+        logger.info(
+            "eval epoch %d: NDCG@10 %.4f HR@10 %.4f HR@50 %.4f MRR %.4f",
+            epoch,
+            metrics.get("ndcg@10", float("nan")),
+            metrics.get("hr@10", float("nan")),
+            metrics.get("hr@50", float("nan")),
+            metrics.get("mrr", float("nan")),
+        )
+        if max_steps is not None and batch_id >= max_steps:
+            break
+    return {"params": params, "opt_state": opt_state, "history": history}
