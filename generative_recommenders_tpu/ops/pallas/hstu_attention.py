@@ -1,0 +1,570 @@
+"""Flash-style HSTU attention Pallas TPU kernels (fwd + bwd).
+
+TPU twin of the reference's two kernel backends — the Triton jagged kernels
+(`ops/triton/triton_hstu_attention.py:214-2170`) and the CUTLASS FA3 CUDA
+kernels (`ops/cpp/hstu_attention/`, ~11.9k LoC).  HSTU attention is
+softmax-free:
+
+    S = alpha * Q K^T            P = silu(S) / max_seq_len * valid_mask
+    O = P V
+
+so no LSE bookkeeping is needed; the backward recomputes S blockwise
+(dsilu fusion), mirroring the reference's recompute strategy.
+
+Jaggedness on TPU: storage is padded-dense [B, H, N, D]; the per-row
+``lengths`` are scalar-prefetched and drive both (a) ``pl.when`` compute
+skipping and (b) *index-map clamping* so skipped KV blocks repeat the previous
+block index and their HBM->VMEM DMA is elided by the pipeline.  Compute and
+traffic are therefore O(sum_i N_i^2) like the reference's jagged kernels,
+without dynamic shapes.
+
+Mask semantics replicate `_get_valid_attn_mask`
+(`ops/pytorch/pt_hstu_attention.py:32-84`): causal, num_targets clamping,
+max_attn_len local window, min_full_attn_seq_len, contextual rows — plus the
+dense-layout row/col < length masking that jagged storage gets for free.
+
+The backward pass currently requires ``bias is None`` (the production path;
+research rel-bias training uses the XLA spec).  Forward supports an additive
+[B, N, N] bias for parity/inference experiments.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret_default() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _block_mask(
+    row0: jax.Array,  # scalar int32: first row index of this q block
+    col0: jax.Array,  # scalar int32: first col index of this kv block
+    bq: int,
+    bk: int,
+    length: jax.Array,  # scalar int32
+    num_targets: jax.Array,  # scalar int32 (0 if unused)
+    causal: bool,
+    max_attn_len: int,
+    contextual_seq_len: int,
+    min_full_attn_seq_len: int,
+) -> jax.Array:
+    """bool[bq, bk] — `_get_valid_attn_mask` semantics on a tile, AND'ed with
+    the dense-layout row/col < length guard."""
+    raw_rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    raw_cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    rows, cols = raw_rows, raw_cols
+    max_ids = length
+    if contextual_seq_len > 0:
+        rows = jnp.maximum(rows - contextual_seq_len + 1, 0)
+        cols = jnp.maximum(cols - contextual_seq_len + 1, 0)
+        max_ids = max_ids - contextual_seq_len + 1
+    max_ids = max_ids - num_targets
+    rows = jnp.minimum(rows, max_ids)
+    cols = jnp.minimum(cols, max_ids)
+    dist = rows - cols
+    if not causal:
+        dist = jnp.abs(dist)
+    valid = jnp.logical_or(dist > 0, raw_rows == raw_cols)
+    if max_attn_len > 0:
+        window = dist <= max_attn_len
+        if min_full_attn_seq_len > 0:
+            window = jnp.logical_or(window, rows >= max_ids - min_full_attn_seq_len)
+        valid = jnp.logical_and(valid, window)
+    if contextual_seq_len > 0:
+        valid = jnp.logical_or(
+            valid, jnp.logical_and(rows == 0, cols < max_ids)
+        )
+    valid = jnp.logical_and(valid, raw_cols < length)
+    valid = jnp.logical_and(valid, raw_rows < length)
+    return valid
+
+
+def _silu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def _dsilu(x: jax.Array) -> jax.Array:
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+# =============================================================== forward ====
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    lengths_ref,  # int32[B]
+    num_targets_ref,  # int32[B]
+    # inputs
+    q_ref,  # [1, 1, BQ, D]
+    k_ref,  # [1, 1, BK, D]
+    v_ref,  # [1, 1, BK, V]
+    *rest,
+    bq: int,
+    bk: int,
+    n_kv: int,
+    alpha: float,
+    inv_norm: float,
+    causal: bool,
+    max_attn_len: int,
+    contextual_seq_len: int,
+    min_full_attn_seq_len: int,
+    has_bias: bool,
+):
+    if has_bias:
+        bias_ref, o_ref, acc_ref = rest
+    else:
+        (o_ref, acc_ref) = rest
+        bias_ref = None
+    b, iq, j = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    length = lengths_ref[b]
+    num_targets = num_targets_ref[b]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # is this kv block live for this q block?
+    row0 = iq * bq
+    col0 = j * bk
+    kv_limit = length  # cols >= length are masked
+    if causal and contextual_seq_len == 0:
+        kv_limit = jnp.minimum(kv_limit, row0 + bq)
+    live = jnp.logical_and(col0 < kv_limit, row0 < length)
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]  # [BQ, D]
+        k = k_ref[0, 0]  # [BK, D]
+        v = v_ref[0, 0]  # [BK, V]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * alpha
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+        p = _silu(s) * inv_norm
+        mask = _block_mask(
+            row0, col0, bq, bk, length, num_targets, causal,
+            max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+        )
+        p = jnp.where(mask, p, 0.0)
+        acc_ref[...] += jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == n_kv - 1)
+    def _write():
+        o_ref[0, 0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _clamped_kv_index(b, h, iq, j, lengths_ref, num_targets_ref, *, bq, bk, causal, contextual):
+    """KV block index with dead blocks clamped to the last live one so their
+    DMA is elided (same block index => pipeline skips the copy)."""
+    length = lengths_ref[b]
+    limit = length
+    if causal and contextual == 0:
+        limit = jnp.minimum(limit, (iq + 1) * bq)
+    last_live = jnp.maximum(pl.cdiv(limit, bk) - 1, 0)
+    return jnp.minimum(j, last_live)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "alpha", "max_seq_len", "causal", "max_attn_len", "contextual_seq_len",
+        "min_full_attn_seq_len", "block_q", "block_k", "interpret",
+    ),
+)
+def _hstu_mha_fwd(
+    q: jax.Array,  # [B, H, N, D]
+    k: jax.Array,
+    v: jax.Array,  # [B, H, N, V]
+    lengths: jax.Array,  # int32[B]
+    num_targets: jax.Array,  # int32[B]
+    bias: Optional[jax.Array],  # [B, N, N] or None
+    *,
+    alpha: float,
+    max_seq_len: int,
+    causal: bool,
+    max_attn_len: int,
+    contextual_seq_len: int,
+    min_full_attn_seq_len: int,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> jax.Array:
+    B, H, N, D = q.shape
+    V = v.shape[-1]
+    bq, bk = min(block_q, N), min(block_k, N)
+    n_q, n_kv = _cdiv(N, bq), _cdiv(N, bk)
+    kv_idx = functools.partial(
+        _clamped_kv_index, bq=bq, bk=bk, causal=causal,
+        contextual=contextual_seq_len,
+    )
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, j, L, T: (b, h, iq, 0)),
+        pl.BlockSpec(
+            (1, 1, bk, D),
+            lambda b, h, iq, j, L, T: (b, h, kv_idx(b, h, iq, j, L, T), 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, bk, V),
+            lambda b, h, iq, j, L, T: (b, h, kv_idx(b, h, iq, j, L, T), 0),
+        ),
+    ]
+    inputs = [q, k, v]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, bq, bk),
+                lambda b, h, iq, j, L, T: (b, iq, kv_idx(b, h, iq, j, L, T)),
+            )
+        )
+        inputs.append(bias)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, H, n_q, n_kv),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, bq, V), lambda b, h, iq, j, L, T: (b, h, iq, 0)),
+        scratch_shapes=[pltpu.VMEM((bq, V), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _fwd_kernel,
+        bq=bq, bk=bk, n_kv=n_kv, alpha=alpha, inv_norm=1.0 / max_seq_len,
+        causal=causal, max_attn_len=max_attn_len,
+        contextual_seq_len=contextual_seq_len,
+        min_full_attn_seq_len=min_full_attn_seq_len,
+        has_bias=bias is not None,
+    )
+    flops = 2 * B * H * N * N * (D + V)  # upper bound (pre-skip)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, N, V), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=q.size * 4 + k.size * 4 + v.size * 8,
+            transcendentals=B * H * N * N,
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), num_targets.astype(jnp.int32), *inputs)
+
+
+# ============================================================== backward ====
+
+
+def _bwd_dq_kernel(
+    lengths_ref, num_targets_ref,
+    q_ref, k_ref, v_ref, do_ref,  # q/do: [1,1,BQ,*] resident; k/v: [1,1,BK,*]
+    dq_ref, acc_ref,
+    *, bq, bk, n_kv, alpha, inv_norm, causal,
+    max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+):
+    b, iq, j = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    length = lengths_ref[b]
+    num_targets = num_targets_ref[b]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    row0, col0 = iq * bq, j * bk
+    kv_limit = length
+    if causal and contextual_seq_len == 0:
+        kv_limit = jnp.minimum(kv_limit, row0 + bq)
+    live = jnp.logical_and(col0 < kv_limit, row0 < length)
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * alpha
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        mask = _block_mask(
+            row0, col0, bq, bk, length, num_targets, causal,
+            max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+        )
+        ds = jnp.where(mask, dp * inv_norm * _dsilu(s), 0.0)
+        acc_ref[...] += alpha * jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == n_kv - 1)
+    def _write():
+        dq_ref[0, 0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    lengths_ref, num_targets_ref,
+    q_ref, k_ref, v_ref, do_ref,  # k/v: [1,1,BK,*] resident; q/do: [1,1,BQ,*]
+    dk_ref, dv_ref, dk_acc, dv_acc,
+    *, bq, bk, n_q, alpha, inv_norm, causal,
+    max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+):
+    b, j, i = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    length = lengths_ref[b]
+    num_targets = num_targets_ref[b]
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    row0, col0 = i * bq, j * bk
+    # q block i is live for kv block j if any row >= col (causal) / any row valid
+    live = jnp.logical_and(row0 < length, col0 < length)
+    if causal and contextual_seq_len == 0:
+        live = jnp.logical_and(live, row0 + bq > col0)
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * alpha  # [BQ, BK]
+        mask = _block_mask(
+            row0, col0, bq, bk, length, num_targets, causal,
+            max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+        )
+        p = jnp.where(mask, _silu(s) * inv_norm, 0.0)
+        # dV_j += P^T dO
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = jnp.where(mask, dp * inv_norm * _dsilu(s), 0.0)
+        # dK_j += alpha * dS^T Q
+        dk_acc[...] += alpha * jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(i == n_q - 1)
+    def _write():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "alpha", "max_seq_len", "causal", "max_attn_len", "contextual_seq_len",
+        "min_full_attn_seq_len", "block_q", "block_k", "interpret",
+    ),
+)
+def _hstu_mha_bwd(
+    q, k, v, lengths, num_targets, do,
+    *, alpha, max_seq_len, causal, max_attn_len, contextual_seq_len,
+    min_full_attn_seq_len, block_q, block_k, interpret,
+):
+    B, H, N, D = q.shape
+    V = v.shape[-1]
+    bq, bk = min(block_q, N), min(block_k, N)
+    n_q, n_kv = _cdiv(N, bq), _cdiv(N, bk)
+    common = dict(
+        alpha=alpha, inv_norm=1.0 / max_seq_len, causal=causal,
+        max_attn_len=max_attn_len, contextual_seq_len=contextual_seq_len,
+        min_full_attn_seq_len=min_full_attn_seq_len,
+    )
+    kv_idx = functools.partial(
+        _clamped_kv_index, bq=bq, bk=bk, causal=causal,
+        contextual=contextual_seq_len,
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, bq=bq, bk=bk, n_kv=n_kv, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, H, n_q, n_kv),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, j, L, T: (b, h, iq, 0)),
+                pl.BlockSpec(
+                    (1, 1, bk, D),
+                    lambda b, h, iq, j, L, T: (b, h, kv_idx(b, h, iq, j, L, T), 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, bk, V),
+                    lambda b, h, iq, j, L, T: (b, h, kv_idx(b, h, iq, j, L, T), 0),
+                ),
+                pl.BlockSpec((1, 1, bq, V), lambda b, h, iq, j, L, T: (b, h, iq, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bq, D), lambda b, h, iq, j, L, T: (b, h, iq, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), num_targets.astype(jnp.int32), q, k, v, do)
+
+    def q_idx(b, h, j, i, L, T):
+        # clamp q-block index to live range for this kv block (causal skip)
+        length = L[b]
+        first_live = (j * bk) // bq if (causal and contextual_seq_len == 0) else 0
+        last_live = jnp.maximum(pl.cdiv(length, bq) - 1, 0)
+        return jnp.clip(i, first_live, last_live)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, bq=bq, bk=bk, n_q=n_q, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, H, n_kv, n_q),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, bq, D), lambda b, h, j, i, L, T: (b, h, q_idx(b, h, j, i, L, T), 0)
+                ),
+                pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i, L, T: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, bk, V), lambda b, h, j, i, L, T: (b, h, j, 0)),
+                pl.BlockSpec(
+                    (1, 1, bq, V), lambda b, h, j, i, L, T: (b, h, q_idx(b, h, j, i, L, T), 0)
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i, L, T: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, bk, V), lambda b, h, j, i, L, T: (b, h, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk, D), jnp.float32),
+                pltpu.VMEM((bk, V), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, N, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, N, V), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), num_targets.astype(jnp.int32), q, k, v, do)
+    return dq, dk, dv
+
+
+# ============================================================ public API ====
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13),
+)
+def _hstu_mha_pallas_core(
+    q, k, v, lengths, num_targets,
+    alpha, max_seq_len, causal, max_attn_len, contextual_seq_len,
+    min_full_attn_seq_len, block_q, block_k, interpret,
+):
+    return _hstu_mha_fwd(
+        q, k, v, lengths, num_targets, None,
+        alpha=alpha, max_seq_len=max_seq_len, causal=causal,
+        max_attn_len=max_attn_len, contextual_seq_len=contextual_seq_len,
+        min_full_attn_seq_len=min_full_attn_seq_len,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+
+
+def _core_fwd(q, k, v, lengths, num_targets, *static):
+    out = _hstu_mha_pallas_core(q, k, v, lengths, num_targets, *static)
+    return out, (q, k, v, lengths, num_targets)
+
+
+def _core_bwd(
+    alpha, max_seq_len, causal, max_attn_len, contextual_seq_len,
+    min_full_attn_seq_len, block_q, block_k, interpret, residuals, do,
+):
+    q, k, v, lengths, num_targets = residuals
+    dq, dk, dv = _hstu_mha_bwd(
+        q, k, v, lengths, num_targets, do,
+        alpha=alpha, max_seq_len=max_seq_len, causal=causal,
+        max_attn_len=max_attn_len, contextual_seq_len=contextual_seq_len,
+        min_full_attn_seq_len=min_full_attn_seq_len,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return dq, dk, dv, None, None
+
+
+_hstu_mha_pallas_core.defvjp(_core_fwd, _core_bwd)
+
+
+def hstu_mha_dense_pallas(
+    q: jax.Array,  # [B, N, H, D]
+    k: jax.Array,
+    v: jax.Array,  # [B, N, H, V]
+    lengths: jax.Array,  # int[B]
+    *,
+    alpha: float = 1.0,
+    max_seq_len: Optional[int] = None,
+    bias: Optional[jax.Array] = None,  # [B, N, N] (forward-only path)
+    causal: bool = True,
+    num_targets: Optional[jax.Array] = None,
+    max_attn_len: int = 0,
+    contextual_seq_len: int = 0,
+    min_full_attn_seq_len: int = 0,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Drop-in Pallas twin of :func:`...xla.hstu_attention.hstu_mha_dense`
+    (with jagged semantics via ``lengths``: rows/cols >= lengths[b] are dead
+    and outputs there are zero). Returns [B, N, H, V]."""
+    B, N, H, D = q.shape
+    V = v.shape[-1]
+    if max_seq_len is None:
+        max_seq_len = N
+    if interpret is None:
+        interpret = _interpret_default()
+    nt = (
+        jnp.zeros((B,), jnp.int32)
+        if num_targets is None
+        else num_targets.astype(jnp.int32)
+    )
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    if bias is not None:
+        out = _hstu_mha_fwd(
+            qt, kt, vt, lengths.astype(jnp.int32), nt, bias,
+            alpha=alpha, max_seq_len=max_seq_len, causal=causal,
+            max_attn_len=max_attn_len, contextual_seq_len=contextual_seq_len,
+            min_full_attn_seq_len=min_full_attn_seq_len,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        )
+    else:
+        out = _hstu_mha_pallas_core(
+            qt, kt, vt, lengths.astype(jnp.int32), nt,
+            alpha, max_seq_len, causal, max_attn_len, contextual_seq_len,
+            min_full_attn_seq_len, block_q, block_k, interpret,
+        )
+    return jnp.transpose(out, (0, 2, 1, 3))

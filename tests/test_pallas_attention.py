@@ -1,0 +1,143 @@
+"""Differential tests: Pallas flash-HSTU kernels vs the XLA executable spec
+(interpret mode on CPU — the reference's Triton-vs-eager test pattern,
+`ops/tests/hstu_attention_test.py:35-163`)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from generative_recommenders_tpu.ops.attention_mask import make_valid_attn_mask
+from generative_recommenders_tpu.ops.pallas.hstu_attention import (
+    hstu_mha_dense_pallas,
+)
+from generative_recommenders_tpu.ops.xla.hstu_attention import hstu_mha_dense
+
+
+def _setup(seed, B, N, H, D, V, ctx_len=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((B, N, H, D)).astype(np.float32) * 0.3
+    k = rng.standard_normal((B, N, H, D)).astype(np.float32) * 0.3
+    v = rng.standard_normal((B, N, H, V)).astype(np.float32) * 0.3
+    lengths = rng.integers(max(1, ctx_len + 1), N + 1, size=(B,)).astype(np.int32)
+    lengths[0] = N  # always one full row
+    return q, k, v, lengths
+
+
+def _ref(q, k, v, lengths, *, alpha, num_targets=None, **mask_kw):
+    B, N = q.shape[0], q.shape[1]
+    mask = make_valid_attn_mask(
+        N, jnp.array(lengths), causal=mask_kw.get("causal", True),
+        num_targets=num_targets,
+        max_attn_len=mask_kw.get("max_attn_len", 0),
+        contextual_seq_len=mask_kw.get("contextual_seq_len", 0),
+        min_full_attn_seq_len=mask_kw.get("min_full_attn_seq_len", 0),
+    )
+    # dense-layout row/col < length guard (jagged parity)
+    pos = jnp.arange(N)
+    valid_rc = (pos[None, :, None] < jnp.array(lengths)[:, None, None]) & (
+        pos[None, None, :] < jnp.array(lengths)[:, None, None]
+    )
+    mask = jnp.logical_and(mask, valid_rc)
+    return hstu_mha_dense(
+        jnp.array(q), jnp.array(k), jnp.array(v),
+        alpha=alpha, max_seq_len=N, mask=mask,
+    )
+
+
+CASES = [
+    dict(),
+    dict(num_targets=True),
+    dict(max_attn_len=5),
+    dict(num_targets=True, max_attn_len=5),
+    dict(num_targets=True, contextual_seq_len=3),
+    dict(max_attn_len=6, min_full_attn_seq_len=4),
+    dict(causal=False),
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_pallas_fwd_matches_spec(case):
+    case = dict(case)
+    B, N, H, D, V = 3, 24, 2, 8, 8
+    ctx = case.get("contextual_seq_len", 0)
+    q, k, v, lengths = _setup(0, B, N, H, D, V, ctx)
+    nt = None
+    if case.pop("num_targets", False):
+        rng = np.random.default_rng(1)
+        nt = jnp.array(
+            np.minimum(rng.integers(0, 4, size=(B,)), lengths - ctx - 1).clip(0)
+        )
+    want = _ref(q, k, v, lengths, alpha=0.7, num_targets=nt, **case)
+    got = hstu_mha_dense_pallas(
+        jnp.array(q), jnp.array(k), jnp.array(v), jnp.array(lengths),
+        alpha=0.7, num_targets=nt, block_q=8, block_k=8, interpret=True, **case,
+    )
+    # spec leaves garbage at rows >= length; kernel zeroes them — compare valid rows
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(got[b, : lengths[b]]), np.asarray(want[b, : lengths[b]]),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(np.asarray(got[b, lengths[b]:]), 0.0)
+
+
+@pytest.mark.parametrize(
+    "case", [dict(), dict(num_targets=True, max_attn_len=5)]
+)
+def test_pallas_bwd_matches_spec(case):
+    case = dict(case)
+    B, N, H, D, V = 2, 16, 2, 8, 8
+    q, k, v, lengths = _setup(3, B, N, H, D, V)
+    nt = None
+    if case.pop("num_targets", False):
+        rng = np.random.default_rng(1)
+        nt = jnp.array(np.minimum(rng.integers(0, 3, size=(B,)), lengths - 1).clip(0))
+    rng = np.random.default_rng(9)
+    # random cotangent restricted to valid rows
+    ct = rng.standard_normal((B, N, H, V)).astype(np.float32)
+    for b in range(B):
+        ct[b, lengths[b]:] = 0.0
+    ct = jnp.array(ct)
+
+    def loss_ref(q_, k_, v_):
+        out = _ref(
+            np.asarray(q_), np.asarray(k_), np.asarray(v_), lengths,
+            alpha=0.7, num_targets=nt, **case,
+        )
+        return jnp.sum(out * ct)
+
+    def loss_ref_traced(q_, k_, v_):
+        maskkw = dict(case)
+        mask = make_valid_attn_mask(
+            N, jnp.array(lengths), causal=maskkw.get("causal", True),
+            num_targets=nt, max_attn_len=maskkw.get("max_attn_len", 0),
+        )
+        pos = jnp.arange(N)
+        valid_rc = (pos[None, :, None] < jnp.array(lengths)[:, None, None]) & (
+            pos[None, None, :] < jnp.array(lengths)[:, None, None]
+        )
+        out = hstu_mha_dense(
+            q_, k_, v_, alpha=0.7, max_seq_len=N,
+            mask=jnp.logical_and(mask, valid_rc),
+        )
+        return jnp.sum(out * ct)
+
+    def loss_pallas(q_, k_, v_):
+        out = hstu_mha_dense_pallas(
+            q_, k_, v_, jnp.array(lengths), alpha=0.7, num_targets=nt,
+            block_q=8, block_k=8, interpret=True, **case,
+        )
+        return jnp.sum(out * ct)
+
+    args = (jnp.array(q), jnp.array(k), jnp.array(v))
+    g_ref = jax.grad(loss_ref_traced, argnums=(0, 1, 2))(*args)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(*args)
+    for name, a, b_ in zip(("dq", "dk", "dv"), g_ref, g_pal):
+        a_np, b_np = np.array(a), np.array(b_)
+        # grads at rows >= length may differ (dead rows); zero them in both
+        for bb in range(B):
+            a_np[bb, lengths[bb]:] = 0.0
+            b_np[bb, lengths[bb]:] = 0.0
+        np.testing.assert_allclose(b_np, a_np, rtol=1e-4, atol=1e-5, err_msg=name)

@@ -21,10 +21,11 @@ def test_train_loop_learns():
         item_embedding_dim=32, num_blocks=2, num_heads=2, dqk=16, dv=16,
     )
     cfg = TrainConfig(
-        model=mcfg, local_batch_size=64, eval_batch_size=64, num_epochs=6,
-        learning_rate=1e-3, num_negatives=32, temperature=0.05,
+        model=mcfg, local_batch_size=64, eval_batch_size=64, num_epochs=20,
+        learning_rate=2e-3, num_negatives=32, temperature=0.05,
         sampling_strategy="local", item_l2_norm=True,
-        full_eval_every_n=1,
+        full_eval_every_n=19,  # partial evals in between
+        partial_eval_num_iters=2,
     )
     out = train_loop(cfg, train_ds, eval_ds, log_every=1000)
     history = out["history"]
