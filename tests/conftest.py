@@ -1,10 +1,21 @@
-"""Test config: force an 8-virtual-device CPU platform so sharding/collective
-tests run anywhere (mirrors the reference's GPU-gated single-node strategy,
-SURVEY.md §4 — here we fake the mesh instead of requiring hardware)."""
+"""Test config.
+
+Two requirements (mirrors the reference's single-node test strategy,
+SURVEY.md §4, with a fake mesh instead of required hardware):
+  * keep whatever real accelerator the environment provides as the default
+    backend (Pallas kernels then run on real TPU when available);
+  * additionally expose an 8-virtual-device CPU backend so sharding /
+    collective tests can build a multi-device mesh anywhere
+    (``jax.devices("cpu")``).
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+platforms = os.environ.get("JAX_PLATFORMS", "")
+if platforms and "cpu" not in platforms.split(","):
+    os.environ["JAX_PLATFORMS"] = platforms + ",cpu"
+else:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
