@@ -201,3 +201,94 @@ def batch_iterator(
             break
         rows = [dataset.get_row(int(i)) for i in idxs]
         yield {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+
+
+class MultiFileSequenceDataset(SequenceDataset):
+    """Lazy sharded-CSV dataset for fractal-expansion corpora (ML-3B).
+
+    TPU twin of `MultiFileDatasetV2` (`research/data/dataset.py:194-249`):
+    shards `<prefix>_{i}.csv` with rows `user_id,"items","ratings"` plus the
+    `<prefix>_users.csv` per-shard row-count index written by
+    `cli/run_fractal_expansion.py`. Timestamps are the item ids (the
+    reference's placeholder, `dataset.py:233`). Rows are read lazily with a
+    per-shard line-offset index (linecache analogue without its memory
+    growth).
+    """
+
+    def __init__(
+        self,
+        file_prefix: str,
+        max_sequence_length: int,
+        ignore_last_n: int,
+        shift_id_by: int = 0,
+        chronological: bool = True,
+        sample_ratio: float = 1.0,
+        seed: int = 0,
+        num_items_hint: int = 0,
+    ) -> None:
+        self._file_prefix = file_prefix
+        with open(f"{file_prefix}_users.csv", newline="") as f:
+            counts = [int(row[1]) for row in csv.reader(f)]
+        self._cumsum = np.cumsum(counts)
+        self._offsets_cache: Dict[int, np.ndarray] = {}
+        self._shift_id_by = shift_id_by
+        self._num_items_hint = num_items_hint
+        self._max_seq_len = max_sequence_length
+        self._ignore_last_n = ignore_last_n
+        self._chronological = chronological
+        self._sample_ratio = sample_ratio
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return int(self._cumsum[-1])
+
+    def _line_offsets(self, shard: int) -> np.ndarray:
+        if shard not in self._offsets_cache:
+            offs = [0]
+            with open(f"{self._file_prefix}_{shard}.csv", "rb") as f:
+                for line in f:
+                    offs.append(offs[-1] + len(line))
+            self._offsets_cache[shard] = np.asarray(offs[:-1], dtype=np.int64)
+        return self._offsets_cache[shard]
+
+    def _read_line(self, idx: int) -> List[str]:
+        shard = int(np.searchsorted(self._cumsum, idx, side="right"))
+        local = idx - (0 if shard == 0 else int(self._cumsum[shard - 1]))
+        offs = self._line_offsets(shard)
+        with open(f"{self._file_prefix}_{shard}.csv", newline="") as f:
+            f.seek(int(offs[local]))
+            return next(csv.reader([f.readline()]))
+
+    def get_row(self, idx: int) -> Dict[str, np.ndarray]:
+        parts = self._read_line(int(idx))
+        user_id = int(parts[0])
+        items = np.asarray(
+            [int(x) + self._shift_id_by for x in parts[1].split(",")],
+            dtype=np.int64,
+        )
+        ratings = np.asarray(
+            [int(float(x)) for x in parts[2].split(",")], dtype=np.int64
+        )
+        # placeholder timestamps = item ids (`dataset.py:233`)
+        seq = UserSequences(
+            user_ids=np.asarray([user_id]),
+            item_ids=[items],
+            ratings=[ratings],
+            timestamps=[items.copy()],
+        )
+        inner = SequenceDataset(
+            seq,
+            self._max_seq_len,
+            self._ignore_last_n,
+            self._chronological,
+            self._sample_ratio,
+        )
+        row = inner.get_row(0)
+        row["user_id"] = np.int64(user_id)
+        return row
+
+    def all_item_ids(self) -> np.ndarray:
+        assert self._num_items_hint > 0, (
+            "pass num_items_hint for multi-file corpora (full scan avoided)"
+        )
+        return np.arange(1, self._num_items_hint + 1, dtype=np.int64)

@@ -15,6 +15,29 @@ import jax
 import jax.numpy as jnp
 
 
+def sampled_softmax_loss_from_logits(
+    pos_logits: jax.Array,  # [B, N] — raw similarity of positives
+    neg_logits: jax.Array,  # [B, N, R] — raw similarity of sampled negatives
+    supervision_ids: jax.Array,  # int[B, N]
+    supervision_weights: jax.Array,  # float[B, N]
+    sampled_ids: jax.Array,  # int[B, N, R]
+    softmax_temperature: float,
+) -> jax.Array:
+    """Sampled softmax with -5e4 masking of positive/negative id collisions
+    (`sampled_softmax.py:44-87`), from precomputed similarity logits (works
+    for both dot-product and MoL similarities)."""
+    pos_logits = pos_logits.astype(jnp.float32) / softmax_temperature
+    neg_logits = jnp.where(
+        supervision_ids[..., None] == sampled_ids,
+        -5e4,
+        neg_logits.astype(jnp.float32) / softmax_temperature,
+    )  # [B, N, R]
+    logits = jnp.concatenate([pos_logits[..., None], neg_logits], axis=-1)
+    per_pos = -jax.nn.log_softmax(logits, axis=-1)[..., 0]  # [B, N]
+    w = supervision_weights.astype(per_pos.dtype)
+    return jnp.sum(per_pos * w) / jnp.maximum(jnp.sum(w), 1e-6)
+
+
 def sampled_softmax_loss(
     output_embeddings: jax.Array,  # [B, N, D] — encoder outputs (postprocessed)
     supervision_embeddings: jax.Array,  # [B, N, D] — positives (normalized)
@@ -24,25 +47,20 @@ def sampled_softmax_loss(
     sampled_negative_embeddings: jax.Array,  # [B, N, R, D] (normalized)
     softmax_temperature: float,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Sampled softmax with -5e4 masking of positive/negative id collisions
-    (`sampled_softmax.py:44-87`)."""
+    """Dot-product sampled softmax (`sampled_softmax.py:44-87`)."""
     pos_logits = jnp.einsum(
         "bnd,bnd->bn", output_embeddings, supervision_embeddings,
         preferred_element_type=jnp.float32,
-    ) / softmax_temperature  # [B, N]
+    )  # [B, N]
     neg_logits = jnp.einsum(
         "bnd,bnrd->bnr", output_embeddings, sampled_negative_embeddings,
         preferred_element_type=jnp.float32,
     )
-    neg_logits = jnp.where(
-        supervision_ids[..., None] == sampled_ids,
-        -5e4,
-        neg_logits / softmax_temperature,
-    )  # [B, N, R]
-    logits = jnp.concatenate([pos_logits[..., None], neg_logits], axis=-1)
-    per_pos = -jax.nn.log_softmax(logits, axis=-1)[..., 0]  # [B, N]
-    w = supervision_weights.astype(per_pos.dtype)
-    return jnp.sum(per_pos * w) / jnp.maximum(jnp.sum(w), 1e-6), {}
+    loss = sampled_softmax_loss_from_logits(
+        pos_logits, neg_logits, supervision_ids, supervision_weights,
+        sampled_ids, softmax_temperature,
+    )
+    return loss, {}
 
 
 def bce_loss(

@@ -24,6 +24,7 @@ from generative_recommenders_tpu.models.postprocessors import (
 from generative_recommenders_tpu.models.preprocessors import (
     LearnablePositionalEmbeddingInputFeaturesPreprocessor,
 )
+from generative_recommenders_tpu.models.rails.mol import MoLConfig, MoLSimilarity
 from generative_recommenders_tpu.models.sasrec import SASRecEncoder
 from generative_recommenders_tpu.models.similarity import dot_product_similarity
 
@@ -54,6 +55,9 @@ class ModelConfig:
     ffn_activation_fn: str = "relu"
     attn_kernel: str = "xla"  # "xla" | "pallas"
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # similarity (`research/modeling/similarity_utils.py:204-223`)
+    interaction_module_type: str = "DotProduct"  # "DotProduct" | "MoL"
+    mol_config: Optional[MoLConfig] = None
 
     @property
     def total_seq_len(self) -> int:
@@ -113,6 +117,18 @@ class SequentialRecommender(nn.Module):
         self.output_postproc = make_output_postprocessor(
             cfg.user_embedding_norm, cfg.item_embedding_dim
         )
+        if cfg.interaction_module_type == "MoL":
+            self.mol = MoLSimilarity(
+                cfg.mol_config
+                or MoLConfig(
+                    query_embedding_dim=cfg.item_embedding_dim,
+                    item_embedding_dim=cfg.item_embedding_dim,
+                )
+            )
+        elif cfg.interaction_module_type != "DotProduct":
+            raise ValueError(
+                f"Unknown interaction_module_type {cfg.interaction_module_type}"
+            )
 
     def get_item_embeddings(self, item_ids: jax.Array) -> jax.Array:
         return self.embedding_module(item_ids)
@@ -126,9 +142,17 @@ class SequentialRecommender(nn.Module):
         """Touches every submodule so ``model.init(..., method='initialize')``
         creates the full parameter tree."""
         emb = self.get_item_embeddings(past_ids)
-        return self.generate_user_embeddings(
+        out = self.generate_user_embeddings(
             past_lengths, past_ids, emb, past_payloads, deterministic=True
         )
+        if self.config.interaction_module_type == "MoL":
+            self.similarity_fn(
+                out[:, -1, :],
+                emb[:, :2, :],
+                user_ids=jnp.zeros_like(past_lengths),
+                deterministic=True,
+            )
+        return out
 
     def generate_user_embeddings(
         self,
@@ -185,9 +209,42 @@ class SequentialRecommender(nn.Module):
         return get_current_embeddings(past_lengths, encoded)
 
     def similarity_fn(
-        self, query_embeddings: jax.Array, item_embeddings: jax.Array
+        self,
+        query_embeddings: jax.Array,  # [B, D]
+        item_embeddings: jax.Array,  # [1/B, X, D]
+        user_ids: Optional[jax.Array] = None,
+        deterministic: bool = True,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """`similarity_module.py:47` — DotProduct or MoL (RAILS)."""
+        if self.config.interaction_module_type == "MoL":
+            return self.mol(
+                query_embeddings, item_embeddings, user_ids, deterministic
+            )
         return dot_product_similarity(query_embeddings, item_embeddings)
+
+    def mol_item_components(self, item_embeddings: jax.Array):
+        """Decoupled-inference precompute for MoL top-k
+        (`similarity_fn.py:292-312`): returns (i_comp [X, P_X, d], gi [X, E])."""
+        i_comp = self.mol.item_components(item_embeddings[None])[0]
+        gi = self.mol.gating_item_partial(item_embeddings[None])
+        return i_comp, (gi[0] if gi is not None else None)
+
+    def mol_score_components(
+        self,
+        query_embeddings: jax.Array,  # [B, D]
+        i_comp: jax.Array,  # [X, P_X, d]
+        gi: Optional[jax.Array],  # [X, E]
+        user_ids: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        q_comp, _ = self.mol.query_components(query_embeddings, user_ids, True)
+        logits, _ = self.mol.score_components(
+            query_embeddings,
+            q_comp,
+            i_comp[None],
+            gi[None] if gi is not None else None,
+            True,
+        )
+        return logits
 
 
 def get_current_embeddings(lengths: jax.Array, encoded: jax.Array) -> jax.Array:

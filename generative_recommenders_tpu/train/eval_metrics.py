@@ -33,22 +33,16 @@ def build_id_to_col(item_ids: np.ndarray, max_item_id: int) -> np.ndarray:
     return col
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def target_ranks(
-    query_embeddings: jax.Array,  # [B, D]
-    item_embeddings: jax.Array,  # [X, D] (normalized like eval candidates)
+def ranks_from_scores(
+    scores: jax.Array,  # [B, X] similarity scores over the corpus
     id_to_col: jax.Array,  # int32[max_id + 2]
     target_ids: jax.Array,  # int[B]
-    past_ids: jax.Array,  # int[B, N] (0 = padding) — the seen ids to filter
+    past_ids: jax.Array,  # int[B, N]
     k: int,
 ) -> jax.Array:
-    """Rank of each target in the filtered corpus; misses get MAX_K + 1."""
-    B = query_embeddings.shape[0]
-    X = item_embeddings.shape[0]
-    scores = jnp.einsum(
-        "bd,xd->bx", query_embeddings, item_embeddings,
-        preferred_element_type=jnp.float32,
-    )
+    """Rank of each target given corpus scores; misses get MAX_K + 1.
+    Used by both the dot-product and the MoL (RAILS) eval paths."""
+    B, X = scores.shape
     tcol = jnp.take(id_to_col, target_ids, axis=0)  # [B]
     tscore = jnp.take_along_axis(
         scores, jnp.clip(tcol, 0, X - 1)[:, None], axis=1
@@ -65,6 +59,23 @@ def target_ranks(
     rank = jnp.where(target_seen, MAX_K + 1, rank)
     rank = jnp.where(rank > k, MAX_K + 1, rank)
     return rank.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def target_ranks(
+    query_embeddings: jax.Array,  # [B, D]
+    item_embeddings: jax.Array,  # [X, D] (normalized like eval candidates)
+    id_to_col: jax.Array,  # int32[max_id + 2]
+    target_ids: jax.Array,  # int[B]
+    past_ids: jax.Array,  # int[B, N] (0 = padding) — the seen ids to filter
+    k: int,
+) -> jax.Array:
+    """Dot-product full-corpus rank (MIPS brute force, `mips_top_k.py:40-81`)."""
+    scores = jnp.einsum(
+        "bd,xd->bx", query_embeddings, item_embeddings,
+        preferred_element_type=jnp.float32,
+    )
+    return ranks_from_scores(scores, id_to_col, target_ids, past_ids, k)
 
 
 def metrics_from_ranks(

@@ -29,6 +29,7 @@ from generative_recommenders_tpu.data.features import (
 from generative_recommenders_tpu.models.losses import (
     bce_loss,
     sampled_softmax_loss,
+    sampled_softmax_loss_from_logits,
 )
 from generative_recommenders_tpu.models.samplers import (
     InBatchNegativesSampler,
@@ -44,6 +45,7 @@ from generative_recommenders_tpu.train.eval_metrics import (
     MetricsAccumulator,
     build_id_to_col,
     metrics_from_ranks,
+    ranks_from_scores,
     target_ranks,
 )
 
@@ -72,6 +74,10 @@ class TrainConfig:
     full_eval_every_n: int = 1
     partial_eval_num_iters: int = 32
     random_seed: int = 42
+    # aux-loss weights (`research/trainer/train.py:86-95` get_weighted_loss),
+    # e.g. (("mi_loss", 0.001),) for MoL load balancing
+    loss_weights: Tuple[Tuple[str, float], ...] = ()
+    eval_item_chunk_size: int = 8192  # MoL eval corpus microbatching
 
 
 class ResearchTrainer:
@@ -194,18 +200,50 @@ class ResearchTrainer:
             )
 
         pos_emb = maybe_l2_norm(sup_emb, cfg.item_l2_norm, cfg.l2_norm_eps)
-        if cfg.loss_module == "SampledSoftmaxLoss":
+        is_mol = cfg.model.interaction_module_type == "MoL"
+        if cfg.loss_module == "SampledSoftmaxLoss" and is_mol:
+            # logits via the learned similarity (`sampled_softmax.py:65-81`)
+            B, Nm1, D = output.shape
+            R = neg_emb.shape[2]
+            rng_sim = jax.random.fold_in(rng_drop, 7)
+            queries = output.reshape(B * Nm1, D)
+            items = jnp.concatenate(
+                [pos_emb[:, :, None, :], neg_emb], axis=2
+            ).reshape(B * Nm1, 1 + R, D)
+            uid = batch.get("user_ids")
+            uid_flat = (
+                jnp.repeat(jnp.asarray(uid).reshape(-1), Nm1)
+                if uid is not None
+                else None
+            )
+            logits, aux = apply(
+                params, queries, items, uid_flat, False,
+                method=SequentialRecommender.similarity_fn,
+                rngs={"dropout": rng_sim},
+            )
+            loss = sampled_softmax_loss_from_logits(
+                logits[:, 0].reshape(B, Nm1),
+                logits[:, 1:].reshape(B, Nm1, R),
+                sup_ids, ar_mask, neg_ids,
+                softmax_temperature=cfg.temperature,
+            )
+        elif cfg.loss_module == "SampledSoftmaxLoss":
             loss, aux = sampled_softmax_loss(
                 output, pos_emb, sup_ids, ar_mask, neg_ids, neg_emb,
                 softmax_temperature=cfg.temperature,
             )
         elif cfg.loss_module == "BCELoss":
+            assert not is_mol, "BCELoss + MoL is not wired up"
             loss, aux = bce_loss(
                 output, pos_emb, sup_ids, ar_mask, neg_ids, neg_emb,
                 temperature=cfg.temperature,
             )
         else:
             raise ValueError(f"Unknown loss_module {cfg.loss_module}")
+        # get_weighted_loss (`train.py:86-95`)
+        for key, weight in cfg.loss_weights:
+            if key in aux:
+                loss = loss + weight * aux[key]
         return loss, aux
 
     def _train_step_impl(
@@ -254,11 +292,56 @@ class ResearchTrainer:
             method=SequentialRecommender.encode,
         )
         k = min(MAX_K, int(self.all_item_ids.shape[0]))
-        ranks = target_ranks(
-            query, item_embs, self._id_to_col, target_ids[:, 0],
-            features.past_ids, k=k,
-        )
+        if self.cfg.model.interaction_module_type == "MoL":
+            scores = self._mol_corpus_scores(
+                params, query, item_embs, batch.get("user_ids")
+            )
+            ranks = ranks_from_scores(
+                scores, self._id_to_col, target_ids[:, 0], features.past_ids,
+                k=k,
+            )
+        else:
+            ranks = target_ranks(
+                query, item_embs, self._id_to_col, target_ids[:, 0],
+                features.past_ids, k=k,
+            )
         return ranks, target_ratings[:, 0]
+
+    def _mol_corpus_scores(
+        self, params: Any, query: jax.Array, item_embs: jax.Array,
+        user_ids: Optional[jax.Array],
+    ) -> jax.Array:
+        """Full-corpus MoL scores, microbatched over items (MoL brute-force
+        top-k, `research/rails/indexing/mol_top_k.py:35-133`)."""
+        apply = self.model.apply
+        X = item_embs.shape[0]
+        chunk = min(self.cfg.eval_item_chunk_size, X)
+        pad = (-X) % chunk
+        padded = jnp.pad(item_embs, ((0, pad), (0, 0)))
+        i_comp, gi = apply(
+            params, padded, method=SequentialRecommender.mol_item_components
+        )
+        uid = jnp.asarray(user_ids).reshape(-1) if user_ids is not None else None
+
+        has_gi = gi is not None
+
+        def score_chunk(args):
+            ic, g = args[0], (args[1] if has_gi else None)
+            return apply(
+                params, query, ic, g, uid,
+                method=SequentialRecommender.mol_score_components,
+            )
+
+        n_chunks = padded.shape[0] // chunk
+        ic = i_comp.reshape(n_chunks, chunk, *i_comp.shape[1:])
+        g = (
+            gi.reshape(n_chunks, chunk, gi.shape[-1])
+            if has_gi
+            else jnp.zeros((n_chunks, chunk, 1), jnp.float32)
+        )
+        scores = jax.lax.map(score_chunk, (ic, g))  # [n_chunks, B, chunk]
+        scores = jnp.moveaxis(scores, 0, 1).reshape(query.shape[0], -1)
+        return scores[:, :X]
 
     def eval_epoch(
         self,

@@ -1,0 +1,99 @@
+"""Data-layer tests: preprocessor output schema round-trip, fractal
+expansion on a tiny corpus, multi-file dataset consumption."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from generative_recommenders_tpu.cli.run_fractal_expansion import (
+    run_expansion,
+)
+from generative_recommenders_tpu.data.dataset import (
+    MultiFileSequenceDataset,
+    SequenceDataset,
+    batch_iterator,
+    load_sasrec_format_csv,
+)
+from generative_recommenders_tpu.data.preprocessor import (
+    MovielensDataProcessor,
+)
+
+
+def _write_ml1m_fixture(root):
+    os.makedirs(f"{root}/ml-1m", exist_ok=True)
+    with open(f"{root}/ml-1m/users.dat", "w") as f:
+        f.write("1::F::1::10::48067\n2::M::56::16::70072\n")
+    rows = [
+        (1, 11, 5, 100), (1, 12, 3, 200), (1, 13, 4, 50),
+        (2, 12, 1, 10), (2, 14, 5, 20), (2, 11, 2, 30), (2, 13, 4, 40),
+    ]
+    with open(f"{root}/ml-1m/ratings.dat", "w") as f:
+        for u, m, r, t in rows:
+            f.write(f"{u}::{m}::{r}::{t}\n")
+    with open(f"{root}/ml-1m/movies.dat", "w") as f:
+        for m in (11, 12, 13, 14):
+            f.write(f"{m}::Movie {m} (1999)::Drama\n")
+
+
+def test_movielens_preprocessor_schema(tmp_path):
+    root = str(tmp_path)
+    _write_ml1m_fixture(root)
+    dp = MovielensDataProcessor(
+        prefix="ml-1m", data_root=root,
+        download_url="", saved_name=f"{root}/nonexistent.zip",
+        expected_num_unique_items=4,
+    )
+    # skip download: data already in place
+    dp.download = lambda: None
+    n = dp.preprocess_rating()
+    assert n == 4
+    seqs = load_sasrec_format_csv(dp.output_format_csv())
+    assert len(seqs) == 2
+    # chronological order per user
+    u1 = list(seqs.user_ids).index(1)
+    np.testing.assert_array_equal(seqs.item_ids[u1], [13, 11, 12])
+    # user features joined (ml-1m)
+    df = pd.read_csv(dp.output_format_csv())
+    for col in ("sex", "age_group", "occupation", "zip_code"):
+        assert col in df.columns
+    ds = SequenceDataset(seqs, max_sequence_length=4, ignore_last_n=0)
+    row = ds.get_row(u1)
+    assert row["target_ids"] == 12 and row["history_lengths"] == 2
+
+
+def test_fractal_expansion_and_multifile_dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    U, I = 30, 20
+    rows = []
+    for u in range(U):
+        for i in rng.choice(I, size=rng.integers(5, 12), replace=False):
+            rows.append((u, int(i), int(rng.integers(1, 6))))
+    df = pd.DataFrame(rows, columns=["userId", "movieId", "rating"])
+    csv_in = str(tmp_path / "ratings.csv")
+    df.to_csv(csv_in, index=False)
+
+    meta = run_expansion(
+        input_csv_file=csv_in,
+        output_prefix=str(tmp_path) + "/syn/",
+        num_row_multiplier=3,
+        num_col_multiplier=2,
+        write_dataset=True,
+        seed=0,
+    )
+    assert meta.num_rows > 0 and meta.num_interactions > 0
+    assert meta.num_cols == 2 * I
+    prefix = str(tmp_path / "syn/3x2")
+    assert os.path.exists(f"{prefix}_users.csv")
+
+    ds = MultiFileSequenceDataset(
+        prefix, max_sequence_length=8, ignore_last_n=0,
+        shift_id_by=1,  # ids in shards are 0-based columns
+        num_items_hint=2 * I,
+    )
+    assert len(ds) == meta.num_rows
+    batch = next(batch_iterator(ds, 4, shuffle=True, seed=0))
+    assert batch["historical_ids"].shape == (4, 8)
+    assert (batch["target_ids"] >= 1).all()
+    assert (batch["target_ids"] <= 2 * I).all()
