@@ -71,12 +71,23 @@ def like_shardings(mesh: Mesh, tree: Any, table_shapes: set) -> Any:
     replicated = NamedSharding(mesh, P())
     rows = NamedSharding(mesh, P(MODEL_AXIS, None))
 
+    row_counts = {s[0] for s in table_shapes}
+    rows_1d = NamedSharding(mesh, P(MODEL_AXIS))
+    n = mesh.shape[MODEL_AXIS]
+
     def rule(leaf):
         if (
             _row_shardable(mesh, leaf)
             and tuple(leaf.shape) in table_shapes
         ):
             return rows
+        # 1-D satellites (e.g. row-wise Adagrad accumulators) ride along
+        if (
+            getattr(leaf, "ndim", 0) == 1
+            and leaf.shape[0] in row_counts
+            and leaf.shape[0] % n == 0
+        ):
+            return rows_1d
         return replicated
 
     return jax.tree_util.tree_map(rule, tree)

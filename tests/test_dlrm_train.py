@@ -1,0 +1,89 @@
+"""DLRM-v3 training-loop tests on the virtual CPU mesh: sparse/dense split
+optimizer, sharded tables, metrics, checkpoint round-trip (the reference's
+`dlrm_v3/train/tests/train_test.py` smoke pattern)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from generative_recommenders_tpu.configs.dlrm import (
+    get_embedding_table_config,
+    get_hstu_configs,
+)
+from generative_recommenders_tpu.data.dlrm_dataset import DLRMv3RandomDataset
+from generative_recommenders_tpu.parallel.mesh import make_mesh
+from generative_recommenders_tpu.parallel.optimizers import rowwise_adagrad
+from generative_recommenders_tpu.train.dlrm_train import (
+    DlrmTrainConfig,
+    DlrmTrainer,
+    eval_loop,
+    train_loop,
+)
+
+
+def test_rowwise_adagrad_rule():
+    tx = rowwise_adagrad(learning_rate=0.1, eps=1e-8)
+    p = {"t": jnp.ones((4, 3))}
+    g = {"t": jnp.full((4, 3), 2.0)}
+    state = tx.init(p)
+    updates, state = tx.update(g, state, p)
+    acc = 4.0  # mean(2^2)
+    want = -0.1 / (np.sqrt(acc) + 1e-8) * 2.0
+    np.testing.assert_allclose(np.asarray(updates["t"]), want, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.acc["t"]), acc, rtol=1e-6)
+
+
+def _tiny_trainer(ckpt_dir=None, num_batches=6):
+    cfg = get_hstu_configs("debug", max_uih_len=24, max_num_candidates=3)
+    cfg = cfg.__class__(
+        **{
+            **cfg.__dict__,
+            "hstu_attn_num_layers": 1,
+            "hstu_embedding_table_dim": 16,
+            "hstu_transducer_embedding_dim": 32,
+            "hstu_attn_linear_dim": 16,
+            "hstu_attn_qk_dim": 16,
+            "hstu_num_heads": 2,
+            "contextual_feature_to_min_uih_length": (),
+        }
+    )
+    tables = get_embedding_table_config("debug", hash_size=64, dim=16)
+    mesh = make_mesh(shape=(2, 2), devices=jax.devices("cpu")[:4])
+    trainer = DlrmTrainer(
+        cfg,
+        tables,
+        DlrmTrainConfig(batch_size=8, num_batches=num_batches, ckpt_dir=ckpt_dir),
+        mesh=mesh,
+    )
+    ds = DLRMv3RandomDataset(cfg, hash_size=64, batch_size=8, seed=0)
+    return trainer, ds
+
+
+def test_dlrm_train_loop_on_mesh(tmp_path):
+    trainer, ds = _tiny_trainer(ckpt_dir=str(tmp_path / "ckpt"))
+    out = train_loop(trainer, ds.batches(6))
+    assert np.isfinite(out["examples_per_s"])
+    m = out["metrics"]
+    assert "vvp100/ne" in m and "vvp100/auc" in m
+    assert np.isfinite(m["vvp100/ne"])
+    # table + its adagrad accumulator are model-sharded
+    t = out["params"]["params"]["embedding_tables_post_id"]
+    assert "model" in str(t.sharding)
+    # eval from the saved checkpoint restores identically
+    trainer2, ds2 = _tiny_trainer()
+    batch0 = next(ds2.batches(1))
+    from generative_recommenders_tpu.train.dlrm_train import _to_device
+    from generative_recommenders_tpu.utils.checkpoint import (
+        restore_checkpoint,
+    )
+
+    params2, _ = trainer2.init_sharded(
+        jax.random.PRNGKey(0), _to_device(batch0)
+    )
+    params2 = restore_checkpoint(str(tmp_path / "ckpt"), params2)
+    a = np.asarray(out["params"]["params"]["embedding_tables_post_id"])
+    b = np.asarray(params2["params"]["embedding_tables_post_id"])
+    np.testing.assert_array_equal(a, b)
+    metrics = eval_loop(trainer2, params2, ds2.batches(2))
+    assert np.isfinite(metrics["vvp100/ne"])
