@@ -1,0 +1,159 @@
+"""Serving benchmark harness (MLPerf-style).
+
+TPU twin of `dlrm_v3/inference/main.py:202-385`: builds the model family
+(int8 sparse + dense), warms up, runs the C++ load generator in the chosen
+scenario, and reports qps + latency percentiles.
+
+    python -m generative_recommenders_tpu.inference.main \
+        --scenario Offline --num_queries 64 --batch_size 8 [--mfalcon]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+
+def main() -> None:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--scenario", default="Offline",
+        choices=["Offline", "Server", "SingleStream"],
+    )
+    p.add_argument("--target_qps", type=float, default=20.0)
+    p.add_argument("--num_queries", type=int, default=64)
+    p.add_argument("--min_duration_ms", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_uih_len", type=int, default=128)
+    p.add_argument("--max_num_candidates", type=int, default=10)
+    p.add_argument("--hash_size", type=int, default=10000)
+    p.add_argument("--num_warmups", type=int, default=2)
+    p.add_argument("--data_producer_threads", type=int, default=1)
+    p.add_argument("--mfalcon", action="store_true", help="KV-cached scoring")
+    p.add_argument("--no_quantize", action="store_true")
+    p.add_argument("--attn_kernel", default=None, choices=["xla", "pallas"])
+    args = p.parse_args()
+
+    from generative_recommenders_tpu.configs.dlrm import (
+        get_embedding_table_config,
+        get_hstu_configs,
+    )
+    from generative_recommenders_tpu.data.dlrm_dataset import (
+        DLRMv3RandomDataset,
+    )
+    from generative_recommenders_tpu.inference.data_producer import (
+        MultiThreadDataProducer,
+        SingleThreadDataProducer,
+    )
+    from generative_recommenders_tpu.inference.loadgen import (
+        Scenario,
+        TestSettings,
+        query_complete,
+        start_test,
+    )
+    from generative_recommenders_tpu.inference.model_family import (
+        HSTUModelFamily,
+    )
+    from generative_recommenders_tpu.modules.dlrm_hstu import DlrmHSTU
+
+    attn = args.attn_kernel or (
+        "pallas" if jax.default_backend() == "tpu" else "xla"
+    )
+    cfg = get_hstu_configs(
+        "debug",
+        max_uih_len=args.max_uih_len,
+        max_num_candidates=args.max_num_candidates,
+        attn_kernel=attn,
+    )
+    tables = get_embedding_table_config(
+        "debug", hash_size=args.hash_size, dim=cfg.hstu_embedding_table_dim
+    )
+    model = DlrmHSTU(cfg, tables)
+    ds = DLRMv3RandomDataset(
+        cfg, hash_size=args.hash_size, batch_size=args.batch_size, seed=0
+    )
+    uih, ul, cands, nc = ds.batch()
+    uih = {k: jnp.asarray(v) for k, v in uih.items()}
+    cands = {k: jnp.asarray(v) for k, v in cands.items()}
+    ul, nc = jnp.asarray(ul), jnp.asarray(nc)
+    params = model.init(jax.random.PRNGKey(0), uih, ul, cands, nc, True)
+    family = HSTUModelFamily(model, params, quantize=not args.no_quantize)
+
+    # fixed query set (QSL analogue); queries cycle through pre-made batches
+    samples = []
+    for raw in ds.batches(8):
+        s_uih = {k: jnp.asarray(v) for k, v in raw[0].items()}
+        s_cands = {k: jnp.asarray(v) for k, v in raw[2].items()}
+        samples.append(
+            (s_uih, jnp.asarray(raw[1]), s_cands, jnp.asarray(raw[3]))
+        )
+
+    def predict(sample):
+        s_uih, s_ul, s_cands, s_nc = sample
+        if args.mfalcon:
+            qt = s_cands[cfg.candidates_querytime_feature_name][:, 0]
+            preds = family.predict_mfalcon(s_uih, s_ul, s_cands, qt)
+        else:
+            preds = family.predict(s_uih, s_ul, s_cands, s_nc)
+        jax.block_until_ready(preds)
+        # force a host sync so latency covers real completion (the axon
+        # relay's block_until_ready is asynchronous — see bench.py notes)
+        float(jnp.sum(preds))
+        return preds
+
+    logger.info("warmup x%d", args.num_warmups)
+    for i in range(args.num_warmups):
+        predict(samples[i % len(samples)])
+
+    if args.data_producer_threads > 1:
+        producer = MultiThreadDataProducer(
+            predict, args.data_producer_threads
+        )
+    else:
+        producer = SingleThreadDataProducer(predict)
+
+    def issue_query(qid: int) -> None:
+        producer.enqueue(
+            qid,
+            samples[qid % len(samples)],
+            lambda q, _preds: query_complete(q),
+        )
+
+    scenario = Scenario[
+        {
+            "Offline": "OFFLINE",
+            "Server": "SERVER",
+            "SingleStream": "SINGLE_STREAM",
+        }[args.scenario]
+    ]
+    result = start_test(
+        TestSettings(
+            scenario=scenario,
+            target_qps=args.target_qps,
+            min_query_count=args.num_queries,
+            min_duration_ms=args.min_duration_ms,
+        ),
+        issue_query,
+    )
+    producer.shutdown()
+    cands_per_query = args.batch_size * args.max_num_candidates
+    result["scored_candidates_per_s"] = result["qps"] * cands_per_query
+    logger.info(
+        "scenario=%s result: %s",
+        args.scenario,
+        {k: round(v, 3) for k, v in result.items()},
+    )
+    print(result)
+
+
+if __name__ == "__main__":
+    main()

@@ -3,7 +3,8 @@
 TPU twin of `modules/action_encoder.py:27-112`: decodes per-event action
 bitmasks into concatenated per-action-type embeddings (one-hot × table);
 optional watchtime-threshold synthetic actions; candidate positions get a
-learned target-action embedding instead.
+learned target-action embedding instead (also exposed standalone via
+`target_embedding` for the M-FALCON delta path).
 """
 
 from __future__ import annotations
@@ -34,29 +35,26 @@ class ActionEncoder(nn.Module):
     def output_embedding_dim(self) -> int:
         return self.action_embedding_dim * self.num_action_types
 
-    @nn.compact
-    def __call__(
-        self,
-        uih_lengths: jax.Array,  # int[B] — uih prefix length per row
-        seq_lengths: jax.Array,  # int[B] — uih + candidates
-        seq_payloads: Dict[str, jax.Array],  # merged [B, N] features
-    ) -> jax.Array:
-        """Returns [B, N, num_action_types * action_embedding_dim]."""
+    def setup(self) -> None:
         A, d = self.num_action_types, self.action_embedding_dim
-        table = self.param(
-            "action_embedding_table",
-            nn.initializers.normal(0.1),
-            (A, d),
+        self._table = self.param(
+            "action_embedding_table", nn.initializers.normal(0.1), (A, d)
         )
-        target_table = self.param(
+        self._target_table = self.param(
             "target_action_embedding_table",
             nn.initializers.normal(0.1),
             (1, A * d),
         )
-        actions = seq_payloads[self.action_feature_name].astype(jnp.int32)
-        B, N = actions.shape
+
+    def target_embedding(self) -> jax.Array:
+        """[1, A*d] — the learned candidate-position action embedding."""
+        return self._target_table
+
+    def encode_actions(self, actions: jax.Array, watchtimes=None) -> jax.Array:
+        """Bitmask [..., ] -> [..., A*d] embeddings (uih positions)."""
+        A, d = self.num_action_types, self.action_embedding_dim
+        actions = actions.astype(jnp.int32)
         if self.watchtime_to_action_thresholds_and_weights:
-            watchtimes = seq_payloads[self.watchtime_feature_name]
             for threshold, weight in (
                 self.watchtime_to_action_thresholds_and_weights
             ):
@@ -70,16 +68,31 @@ class ActionEncoder(nn.Module):
             jnp.int32,
         )
         exploded = (
-            jnp.bitwise_and(actions[:, :, None], combined_weights[None, None, :])
-            > 0
-        )  # [B, N, A]
-        uih_emb = (
-            exploded[..., None].astype(table.dtype) * table[None, None]
-        ).reshape(B, N, A * d)
+            jnp.bitwise_and(actions[..., None], combined_weights) > 0
+        )  # [..., A]
+        return (
+            exploded[..., None].astype(self._table.dtype) * self._table
+        ).reshape(*actions.shape, A * d)
+
+    def __call__(
+        self,
+        uih_lengths: jax.Array,  # int[B] — uih prefix length per row
+        seq_lengths: jax.Array,  # int[B] — uih + candidates
+        seq_payloads: Dict[str, jax.Array],  # merged [B, N] features
+    ) -> jax.Array:
+        """Returns [B, N, num_action_types * action_embedding_dim]."""
+        actions = seq_payloads[self.action_feature_name]
+        watchtimes = (
+            seq_payloads.get(self.watchtime_feature_name)
+            if self.watchtime_to_action_thresholds_and_weights
+            else None
+        )
+        B, N = actions.shape
+        uih_emb = self.encode_actions(actions, watchtimes)
         # candidate positions (>= uih_length) use the learned target embedding
         is_uih = valid_mask(uih_lengths, N)[:, :, None]
         return jnp.where(
-            is_uih, uih_emb, target_table.reshape(1, 1, A * d)
+            is_uih, uih_emb, self._target_table.reshape(1, 1, -1)
         )
 
 

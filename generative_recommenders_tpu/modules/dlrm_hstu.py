@@ -124,6 +124,9 @@ class DlrmHSTU(nn.Module):
             use_group_norm=cfg.hstu_group_norm,
             contextual_seq_len=ctx_len,
             attn_kernel=cfg.attn_kernel,
+            # fixed silu normalizer = training-time padded length, so the
+            # M-FALCON prefill/delta passes normalize identically
+            norm_seq_len=ctx_len + cfg.max_uih_len + cfg.max_num_candidates,
         )
         stack = STUStack(
             tuple(stu_cfg for _ in range(cfg.hstu_attn_num_layers)),
@@ -194,43 +197,25 @@ class DlrmHSTU(nn.Module):
     ):
         """EmbeddingCollection lookup + uih/candidate merge
         (`dlrm_hstu.py:339-425` + `main_forward` merge at :443-465)."""
-        cfg = self.cfg
-        seq_embeddings: Dict[str, jax.Array] = {}
-        payload_features: Dict[str, jax.Array] = {}
-        for f, ids in uih_features.items():
-            if f in self._feature_to_table:
-                seq_embeddings[f] = self._lookup(f, ids)
-            else:
-                payload_features[f] = ids
-        for f, vals in candidates_features.items():
-            if f in self._feature_to_table:
-                seq_embeddings[f] = self._lookup(f, vals)
-            else:
-                payload_features[f] = vals
-        # merge uih + candidate sequences (embeddings and payloads)
-        for uih_name, cand_name in cfg.merge_uih_candidate_feature_mapping:
-            if uih_name in seq_embeddings:
-                seq_embeddings[uih_name] = concat_tail(
-                    seq_embeddings[uih_name], uih_lengths,
-                    seq_embeddings[cand_name],
-                )
-            elif uih_name in payload_features:
-                payload_features[uih_name] = concat_tail(
-                    payload_features[uih_name], uih_lengths,
-                    payload_features[cand_name],
-                )
-        return seq_embeddings, payload_features
+        return lookup_and_merge_features(
+            self.cfg,
+            self._feature_to_table,
+            self._lookup,
+            uih_features,
+            uih_lengths,
+            candidates_features,
+        )
 
     # ---------------------------------------------------------------- towers
     def _item_forward(
-        self, seq_embeddings: Dict[str, jax.Array], uih_lengths, M: int
+        self, seq_embeddings: Dict[str, jax.Array]
     ) -> jax.Array:
-        from generative_recommenders_tpu.ops.padded import gather_tail
-
+        """Item tower on candidate-side embeddings [B, M, D]
+        (`dlrm_hstu.py:323-337` — reads the candidate features directly,
+        not the merged sequence)."""
         cfg = self.cfg
         cand_embs = [
-            gather_tail(seq_embeddings[name], uih_lengths, M)
-            for name in cfg.item_embedding_feature_names
+            seq_embeddings[name] for name in cfg.item_embedding_feature_names
         ]
         return self._item_mlp(jnp.concatenate(cand_embs, axis=-1))
 
@@ -247,7 +232,7 @@ class DlrmHSTU(nn.Module):
         cfg = self.cfg
         M = cfg.max_num_candidates
         seq_lengths = uih_lengths + num_candidates
-        item_embeddings = self._item_forward(seq_embeddings, uih_lengths, M)
+        item_embeddings = self._item_forward(seq_embeddings)
         # merged timestamps: uih action time | candidate query time
         merged_ts = payload_features[cfg.uih_action_time_feature_name]
         user_embeddings, _ = self._transducer(
@@ -308,3 +293,108 @@ class DlrmHSTU(nn.Module):
             deterministic=deterministic,
             compute_losses=compute_losses,
         )
+
+    # ---------------------------------------------------- M-FALCON serving
+    def mfalcon_prefill(
+        self,
+        uih_features: Dict[str, jax.Array],
+        uih_lengths: jax.Array,
+        query_time: jax.Array,  # int[B] — candidates' query time
+    ):
+        """Encode the uih once; returns (per-layer KV caches, ctx lengths).
+        Serving twin of the sequence-encode stage of
+        `dlrm_v3/inference/model_family.py` with the `stu.py:354-418`
+        cache."""
+        cfg = self.cfg
+        seq_embeddings: Dict[str, jax.Array] = {}
+        payload_features: Dict[str, jax.Array] = {}
+        for f, v in uih_features.items():
+            if f in self._feature_to_table:
+                seq_embeddings[f] = self._lookup(f, v)
+            else:
+                payload_features[f] = v
+        return self._transducer.prefill(
+            seq_embeddings[cfg.uih_post_id_feature_name],
+            uih_lengths,
+            payload_features[cfg.uih_action_time_feature_name],
+            query_time,
+            {**payload_features, **seq_embeddings},
+        )
+
+    def mfalcon_score_chunk(
+        self,
+        caches,
+        candidates_features: Dict[str, jax.Array],  # [B, m] chunk
+        query_time: jax.Array,  # int[B]
+    ) -> jax.Array:
+        """Scores one m-candidate chunk against the caches; returns
+        multitask preds [T, B, m] (M-FALCON microbatched scoring,
+        `max_num_candidates_inference` candidates per pass)."""
+        cfg = self.cfg
+        cand_emb: Dict[str, jax.Array] = {}
+        payloads: Dict[str, jax.Array] = {}
+        for f, v in candidates_features.items():
+            if f in self._feature_to_table:
+                cand_emb[f] = self._lookup(f, v)
+            else:
+                payloads[f] = v
+        item_embeddings = self._item_mlp(
+            jnp.concatenate(
+                [cand_emb[n] for n in cfg.item_embedding_feature_names],
+                axis=-1,
+            )
+        )
+        # the candidate twin of uih_post_id via the merge mapping
+        mapping = dict(cfg.merge_uih_candidate_feature_mapping)
+        cand_input = cand_emb[mapping[cfg.uih_post_id_feature_name]]
+        cand_ts = payloads[cfg.candidates_querytime_feature_name]
+        user_embeddings = self._transducer.cached_score(
+            cand_input, cand_ts, caches, query_time
+        )
+        preds, _, _, _ = self._multitask(
+            user_embeddings,
+            item_embeddings,
+            {},
+            {},
+            jnp.ones(cand_ts.shape, jnp.bool_),
+            compute_losses=False,
+        )
+        return preds
+
+
+def lookup_and_merge_features(
+    cfg: DlrmHSTUConfig,
+    feature_to_table: Dict[str, str],
+    lookup_fn,
+    uih_features: Dict[str, jax.Array],
+    uih_lengths: jax.Array,
+    candidates_features: Dict[str, jax.Array],
+):
+    """Pure lookup + uih/candidate merge, shared by DlrmHSTU.preprocess and
+    the serving sparse stage (`dlrm_v3/inference/model_family.py:111-178`
+    runs this on the quantized tables)."""
+    seq_embeddings: Dict[str, jax.Array] = {}
+    payload_features: Dict[str, jax.Array] = {}
+    for f, ids in uih_features.items():
+        if f in feature_to_table:
+            seq_embeddings[f] = lookup_fn(f, ids)
+        else:
+            payload_features[f] = ids
+    for f, vals in candidates_features.items():
+        if f in feature_to_table:
+            seq_embeddings[f] = lookup_fn(f, vals)
+        else:
+            payload_features[f] = vals
+    # merge uih + candidate sequences (embeddings and payloads)
+    for uih_name, cand_name in cfg.merge_uih_candidate_feature_mapping:
+        if uih_name in seq_embeddings:
+            seq_embeddings[uih_name] = concat_tail(
+                seq_embeddings[uih_name], uih_lengths,
+                seq_embeddings[cand_name],
+            )
+        elif uih_name in payload_features:
+            payload_features[uih_name] = concat_tail(
+                payload_features[uih_name], uih_lengths,
+                payload_features[cand_name],
+            )
+    return seq_embeddings, payload_features

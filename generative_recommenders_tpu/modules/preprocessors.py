@@ -9,6 +9,10 @@ TPU twin of `modules/preprocessors.py:108-299` (ContextualPreprocessor):
 
 Padded layout: returns sequences of length C + N with lengths/uih_lengths
 shifted by C; timestamps get zero-prefixed.
+
+`delta_candidates` is the M-FALCON incremental twin: preprocess a chunk of
+candidate tokens alone (content MLP + learned target-action embedding),
+matching exactly what the full pass would compute at candidate positions.
 """
 
 from __future__ import annotations
@@ -52,7 +56,36 @@ class ContextualPreprocessor(nn.Module):
     def interleave_targets(self) -> bool:
         return False
 
-    @nn.compact
+    def setup(self) -> None:
+        self._content_mlp = SwishMLP(
+            self.hidden_dim, self.output_embedding_dim, name="content_mlp"
+        )
+        if self.action_weights is not None:
+            self._action_encoder = ActionEncoder(
+                action_embedding_dim=self.action_embedding_dim,
+                action_feature_name=self.action_feature_name,
+                action_weights=tuple(self.action_weights),
+                name="action_encoder",
+            )
+            self._action_mlp = SwishMLP(
+                self.hidden_dim, self.output_embedding_dim, name="action_mlp"
+            )
+        C = self.max_contextual_seq_len
+        if C > 0:
+            std = (
+                2.0 / (self.input_embedding_dim + self.output_embedding_dim)
+            ) ** 0.5
+            self._ctx_w = self.param(
+                "batched_contextual_linear_weights",
+                nn.initializers.normal(std),
+                (C, self.input_embedding_dim, self.output_embedding_dim),
+            )
+            self._ctx_b = self.param(
+                "batched_contextual_linear_bias",
+                nn.initializers.zeros,
+                (C, self.output_embedding_dim),
+            )
+
     def __call__(
         self,
         seq_embeddings: jax.Array,  # [B, N, Din] merged uih|candidates
@@ -63,21 +96,13 @@ class ContextualPreprocessor(nn.Module):
         seq_payloads: Dict[str, jax.Array],
     ) -> PreprocessorOutput:
         B, N, _ = seq_embeddings.shape
-        out = SwishMLP(
-            self.hidden_dim, self.output_embedding_dim, name="content_mlp"
-        )(seq_embeddings)
+        out = self._content_mlp(seq_embeddings)
 
         if self.action_weights is not None:
-            encoder = ActionEncoder(
-                action_embedding_dim=self.action_embedding_dim,
-                action_feature_name=self.action_feature_name,
-                action_weights=tuple(self.action_weights),
-                name="action_encoder",
+            action_emb = self._action_encoder(
+                uih_lengths, seq_lengths, seq_payloads
             )
-            action_emb = encoder(uih_lengths, seq_lengths, seq_payloads)
-            out = out + SwishMLP(
-                self.hidden_dim, self.output_embedding_dim, name="action_mlp"
-            )(action_emb)
+            out = out + self._action_mlp(action_emb)
 
         C = self.max_contextual_seq_len
         if C > 0:
@@ -96,25 +121,12 @@ class ContextualPreprocessor(nn.Module):
                     ).astype(v.dtype)
                 parts.append(v)
             ctx_in = jnp.concatenate(parts, axis=1)  # [B, C, Din]
-            w = self.param(
-                "batched_contextual_linear_weights",
-                nn.initializers.normal(
-                    (2.0 / (self.input_embedding_dim + self.output_embedding_dim))
-                    ** 0.5
-                ),
-                (C, self.input_embedding_dim, self.output_embedding_dim),
-            )
-            b = self.param(
-                "batched_contextual_linear_bias",
-                nn.initializers.zeros,
-                (C, self.output_embedding_dim),
-            )
             ctx = (
                 jnp.einsum(
-                    "bcd,cde->bce", ctx_in, w,
+                    "bcd,cde->bce", ctx_in, self._ctx_w,
                     preferred_element_type=jnp.float32,
                 )
-                + b[None]
+                + self._ctx_b[None]
             ).astype(out.dtype)
             out = prepend_prefix(out, ctx)
             seq_timestamps = prepend_prefix(
@@ -131,3 +143,20 @@ class ContextualPreprocessor(nn.Module):
             num_targets=num_targets,
             contextual_seq_len=C,
         )
+
+    def delta_candidates(
+        self,
+        cand_embeddings: jax.Array,  # [B, m, Din]
+    ) -> jax.Array:
+        """M-FALCON delta preprocessing of candidate tokens: content MLP +
+        (target) action MLP — what `__call__` produces at candidate
+        positions (no contextual/positional terms; the positional encoder
+        handles those)."""
+        out = self._content_mlp(cand_embeddings)
+        if self.action_weights is not None:
+            B, m, _ = cand_embeddings.shape
+            target = self._action_encoder.target_embedding()  # [1, A*d]
+            out = out + self._action_mlp(
+                jnp.broadcast_to(target[None], (B, m, target.shape[-1]))
+            )
+        return out

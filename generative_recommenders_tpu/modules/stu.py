@@ -55,6 +55,10 @@ class STULayerConfig:
     sort_by_length: bool = True  # no-op on TPU (see module docstring)
     contextual_seq_len: int = 0
     attn_kernel: str = "xla"  # "xla" | "pallas"
+    # fixed silu normalizer (the reference's max_seq_len argument); None =>
+    # the padded sequence length of each call. Set it for M-FALCON serving so
+    # prefill/delta passes normalize identically to training.
+    norm_seq_len: int = 0
 
     @property
     def alpha(self) -> float:
@@ -148,6 +152,7 @@ class STULayer(nn.Module):
         (x_out, KVCache) when ``kv_caching_lengths`` is given (prefill)."""
         cfg = self.config
         B, N, _ = x.shape
+        norm_len = cfg.norm_seq_len or N
         u, q, k, v = self._uqvk(x)
         nt = num_targets if cfg.target_aware else None
         if cfg.attn_kernel == "pallas":
@@ -156,7 +161,8 @@ class STULayer(nn.Module):
             )
 
             attn = hstu_mha_dense_pallas(
-                q, k, v, lengths=lengths, alpha=cfg.alpha, max_seq_len=N,
+                q, k, v, lengths=lengths, alpha=cfg.alpha,
+                max_seq_len=norm_len,
                 causal=cfg.causal, num_targets=nt,
                 max_attn_len=cfg.max_attn_len,
                 contextual_seq_len=cfg.contextual_seq_len,
@@ -168,7 +174,7 @@ class STULayer(nn.Module):
                 contextual_seq_len=cfg.contextual_seq_len,
             )
             attn = hstu_mha_dense(
-                q, k, v, alpha=cfg.alpha, max_seq_len=N, mask=mask
+                q, k, v, alpha=cfg.alpha, max_seq_len=norm_len, mask=mask
             )
         attn = attn.reshape(B, N, cfg.num_heads * cfg.hidden_dim)
         out = self._output(attn, u, x, deterministic)
@@ -213,9 +219,9 @@ class STULayer(nn.Module):
             alpha=cfg.alpha, num_targets=nt,
             max_attn_len=cfg.max_attn_len,
             contextual_seq_len=cfg.contextual_seq_len,
-            # silu normalizer must match the prefill forward's padded N
-            # (cache capacity), not the scatter-headroom Nc+M
-            norm_len=Nc,
+            # silu normalizer must match the prefill forward's
+            # (config constant, else cache capacity — not Nc+M headroom)
+            norm_len=cfg.norm_seq_len or Nc,
         ).reshape(B, M, cfg.num_heads * cfg.hidden_dim)
         out = self._output(delta_attn, delta_u, delta_x, deterministic)
         return out, KVCache(k=full_k, v=full_v, lengths=full_lengths)

@@ -53,11 +53,15 @@ def _timestamp_buckets(
     num_buckets: int,
     time_bucket_fn: str = "sqrt",
     time_bucket_increments: float = 60.0,
+    query_time: Optional[jax.Array] = None,  # [B]: override ts[len-1]
 ) -> jax.Array:
     B, N = timestamps.shape
     ts = timestamps.astype(jnp.float32)
-    q_idx = jnp.clip(seq_lengths.astype(jnp.int32) - 1, 0, N - 1)
-    query_time = jnp.take_along_axis(ts, q_idx[:, None], axis=1)  # [B, 1]
+    if query_time is not None:
+        query_time = query_time.astype(jnp.float32).reshape(B, 1)
+    else:
+        q_idx = jnp.clip(seq_lengths.astype(jnp.int32) - 1, 0, N - 1)
+        query_time = jnp.take_along_axis(ts, q_idx[:, None], axis=1)  # [B, 1]
     dt = jnp.maximum(query_time - ts, 1e-6) / time_bucket_increments
     if time_bucket_fn == "log":
         x = jnp.log(dt)
@@ -78,6 +82,7 @@ def add_timestamp_positional_embeddings(
     max_contextual_seq_len: int = 0,
     interleave_targets: bool = False,
     time_bucket_fn: str = "sqrt",
+    query_time: Optional[jax.Array] = None,
 ) -> jax.Array:
     """out = seq_embeddings * alpha + pos_emb[pos_idx] + ts_emb[ts_bucket].
 
@@ -93,7 +98,7 @@ def add_timestamp_positional_embeddings(
     )
     ts_idx = _timestamp_buckets(
         timestamps, seq_lengths, timestamp_embeddings.shape[0] - 1,
-        time_bucket_fn,
+        time_bucket_fn, query_time=query_time,
     )
     add = jnp.take(position_embeddings, pos_idx, axis=0) + jnp.take(
         timestamp_embeddings, ts_idx, axis=0

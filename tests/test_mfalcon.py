@@ -1,0 +1,72 @@
+"""M-FALCON serving-path test: KV-cache prefill + chunked candidate scoring
+must reproduce the full forward's predictions exactly (the reference's
+`test_cache` invariance, `ops/tests/hstu_attention_test.py:355-486`, lifted
+to the whole DlrmHSTU ranker)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from generative_recommenders_tpu.configs.dlrm import (
+    get_embedding_table_config,
+    get_hstu_configs,
+)
+from generative_recommenders_tpu.data.dlrm_dataset import DLRMv3RandomDataset
+from generative_recommenders_tpu.modules.dlrm_hstu import DlrmHSTU
+
+
+def test_mfalcon_chunked_scoring_matches_full_forward():
+    M = 4  # total candidates; scored in chunks of m=2
+    cfg = get_hstu_configs("debug", max_uih_len=24, max_num_candidates=M)
+    cfg = cfg.__class__(
+        **{
+            **cfg.__dict__,
+            "hstu_attn_num_layers": 2,
+            "hstu_embedding_table_dim": 16,
+            "hstu_transducer_embedding_dim": 32,
+            "hstu_attn_linear_dim": 16,
+            "hstu_attn_qk_dim": 16,
+            "hstu_num_heads": 2,
+            "hstu_input_dropout_ratio": 0.0,
+            "contextual_feature_to_min_uih_length": (),
+        }
+    )
+    tables = get_embedding_table_config("debug", hash_size=64, dim=16)
+    model = DlrmHSTU(cfg, tables)
+    ds = DLRMv3RandomDataset(cfg, hash_size=64, batch_size=3, seed=3)
+    uih, uih_lengths, cands, _ = ds.batch()
+    uih = {k: jnp.asarray(v) for k, v in uih.items()}
+    cands = {k: jnp.asarray(v) for k, v in cands.items()}
+    uih_lengths = jnp.asarray(uih_lengths)
+    B = uih_lengths.shape[0]
+    num_cands = jnp.full((B,), M, jnp.int32)  # all valid for exact parity
+    # all candidates share the query time (as in serving)
+    qt = uih["uih_action_time"].max(axis=1) + 1
+    cands = dict(cands)
+    cands["item_query_time"] = jnp.broadcast_to(qt[:, None], (B, M)).astype(
+        jnp.int32
+    )
+
+    params = model.init(
+        jax.random.PRNGKey(0), uih, uih_lengths, cands, num_cands, True
+    )
+    _, _, _, full_preds, _, _ = model.apply(
+        params, uih, uih_lengths, cands, num_cands, True, False
+    )  # [T, B, M]
+
+    caches, _ = model.apply(
+        params, uih, uih_lengths, qt, method=DlrmHSTU.mfalcon_prefill
+    )
+    m = 2
+    chunk_preds = []
+    for c0 in range(0, M, m):
+        chunk = {k: v[:, c0 : c0 + m] for k, v in cands.items()}
+        p = model.apply(
+            params, caches, chunk, qt, method=DlrmHSTU.mfalcon_score_chunk
+        )  # [T, B, m]
+        chunk_preds.append(p)
+    mf_preds = jnp.concatenate(chunk_preds, axis=-1)  # [T, B, M]
+
+    np.testing.assert_allclose(
+        np.asarray(mf_preds), np.asarray(full_preds), rtol=2e-4, atol=2e-5
+    )
