@@ -36,6 +36,8 @@ def main() -> None:
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--output_trace", action="store_true")
     p.add_argument("--attn_kernel", default=None, choices=["xla", "pallas"])
+    p.add_argument("--stochastic_depth", type=float, default=0.0)
+    p.add_argument("--l2_max_len", type=int, default=0)
     args = p.parse_args()
 
     from generative_recommenders_tpu.configs.dlrm import (
@@ -62,6 +64,14 @@ def main() -> None:
         max_num_candidates=args.max_num_candidates,
         attn_kernel=attn,
     )
+    if args.stochastic_depth or args.l2_max_len:
+        import dataclasses as _dc
+
+        hstu_cfg = _dc.replace(
+            hstu_cfg,
+            hstu_stochastic_depth_ratio=args.stochastic_depth,
+            hstu_l2_max_len=args.l2_max_len,
+        )
     tables = get_embedding_table_config(
         args.dataset, hash_size=args.hash_size,
         dim=hstu_cfg.hstu_embedding_table_dim,

@@ -104,3 +104,58 @@ class LearnablePositionalEmbeddingRatedInputFeaturesPreprocessor(nn.Module):
         )
         valid_mask = (past_ids != 0)[..., None].astype(user_embeddings.dtype)
         return past_lengths, user_embeddings * valid_mask, valid_mask
+
+
+class CombinedItemAndRatingInputFeaturesPreprocessor(nn.Module):
+    """Interleaves item and rating embeddings — [i0, r0, i1, r1, ...] —
+    doubling the sequence (`input_features_preprocessors.py:155-254`).
+    Output length is 2N; lengths double; valid mask repeats per pair.
+    """
+
+    max_sequence_len: int  # N (pre-interleave)
+    embedding_dim: int
+    dropout_rate: float
+    num_ratings: int
+
+    @nn.compact
+    def __call__(
+        self,
+        past_lengths: jax.Array,  # int[B]
+        past_ids: jax.Array,  # int[B, N]
+        past_embeddings: jax.Array,  # [B, N, D]
+        past_payloads: Dict[str, jax.Array],
+        deterministic: bool = False,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        B, N = past_ids.shape
+        D = self.embedding_dim
+        init = nn.initializers.truncated_normal(
+            stddev=(1.0 / D) ** 0.5, lower=-2.0, upper=2.0
+        )
+        pos_emb = self.param(
+            "pos_emb", init, (self.max_sequence_len * 2, D), jnp.float32
+        )
+        rating_emb_table = self.param(
+            "rating_emb", init, (self.num_ratings, D), jnp.float32
+        )
+        ratings = jnp.clip(
+            past_payloads["ratings"].astype(jnp.int32), 0, self.num_ratings - 1
+        )
+        rating_embeddings = jnp.take(rating_emb_table, ratings, axis=0)
+        # interleave along the sequence axis -> [B, 2N, D]
+        user_embeddings = jnp.stack(
+            [past_embeddings, rating_embeddings], axis=2
+        ).reshape(B, 2 * N, D)
+        scale = D**0.5
+        user_embeddings = user_embeddings * scale + pos_emb[None, : 2 * N, :]
+        user_embeddings = nn.Dropout(self.dropout_rate)(
+            user_embeddings, deterministic=deterministic
+        )
+        valid = (past_ids != 0)[:, :, None]  # [B, N, 1]
+        valid_mask = (
+            jnp.repeat(valid, 2, axis=1).reshape(B, 2 * N, 1)
+        ).astype(user_embeddings.dtype)
+        return (
+            past_lengths * 2,
+            user_embeddings * valid_mask,
+            valid_mask,
+        )

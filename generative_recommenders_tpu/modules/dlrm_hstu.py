@@ -93,6 +93,10 @@ class DlrmHSTUConfig:
     attn_kernel: str = "xla"  # "xla" | "pallas"
     num_position_buckets: int = 8192
     num_time_buckets: int = 2048
+    # dynamic STU wrappers (`modules/dynamic_stu.py`); incompatible with the
+    # M-FALCON cached path
+    hstu_stochastic_depth_ratio: float = 0.0
+    hstu_l2_max_len: int = 0
 
 
 class DlrmHSTU(nn.Module):
@@ -130,6 +134,8 @@ class DlrmHSTU(nn.Module):
         )
         stack = STUStack(
             tuple(stu_cfg for _ in range(cfg.hstu_attn_num_layers)),
+            stochastic_depth_ratio=cfg.hstu_stochastic_depth_ratio,
+            l2_max_len=cfg.hstu_l2_max_len,
             name="stu",
         )
         preproc = ContextualPreprocessor(

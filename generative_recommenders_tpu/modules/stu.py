@@ -228,14 +228,45 @@ class STULayer(nn.Module):
 
 
 class STUStack(nn.Module):
-    """`modules/stu.py:421-466`."""
+    """`modules/stu.py:421-466`. Optional dynamic wrappers
+    (`modules/dynamic_stu.py`): ``stochastic_depth_ratio`` wraps every layer
+    in SDSTU; ``l2_max_len`` wraps the top half of the stack in L2STU (the
+    paper's upper-layer window trick). Wrapped stacks do not support the
+    KV-cache prefill/cached_forward path."""
 
     configs: Tuple[STULayerConfig, ...]
+    stochastic_depth_ratio: float = 0.0
+    l2_max_len: int = 0
 
     def setup(self) -> None:
-        self.layers = [
-            STULayer(cfg, name=f"layer_{i}") for i, cfg in enumerate(self.configs)
-        ]
+        from generative_recommenders_tpu.modules.dynamic_stu import (
+            L2STU,
+            SDSTU,
+        )
+
+        layers = []
+        n = len(self.configs)
+        for i, cfg in enumerate(self.configs):
+            is_l2 = self.l2_max_len > 0 and i >= n // 2
+            if is_l2:
+                # the L2 window excludes the contextual prefix, so the inner
+                # layer must not re-apply contextual masking
+                inner_cfg = dataclasses.replace(cfg, contextual_seq_len=0)
+            else:
+                inner_cfg = cfg
+            layer = STULayer(inner_cfg, name=f"layer_{i}")
+            if self.stochastic_depth_ratio > 0.0:
+                layer = SDSTU(
+                    layer, self.stochastic_depth_ratio, name=f"sd_{i}"
+                )
+            if is_l2:
+                layer = L2STU(
+                    layer, self.l2_max_len,
+                    cfg.contextual_seq_len, name=f"l2_{i}",
+                )
+            layers.append(layer)
+        self.layers = layers
+        self._dynamic = self.stochastic_depth_ratio > 0.0 or self.l2_max_len > 0
 
     def __call__(
         self,
@@ -248,6 +279,9 @@ class STUStack(nn.Module):
         caches: List[KVCache] = []
         for layer in self.layers:
             if kv_caching_lengths is not None:
+                assert not self._dynamic, (
+                    "dynamic STU wrappers do not support KV-cache prefill"
+                )
                 x, cache = layer(
                     x, lengths, num_targets, deterministic, kv_caching_lengths
                 )

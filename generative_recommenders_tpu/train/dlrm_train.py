@@ -103,9 +103,10 @@ class DlrmTrainer:
 
     def _loss_fn(self, params, batch, rng):
         uih, ul, cands, nc = batch
+        r1, r2 = jax.random.split(rng)
         _, _, aux_losses, preds, labels, weights = self.model.apply(
             params, uih, ul, cands, nc, False, True,
-            rngs={"dropout": rng},
+            rngs={"dropout": r1, "stochastic_depth": r2},
         )
         total = sum(aux_losses.values())
         return total, (preds, labels, weights)

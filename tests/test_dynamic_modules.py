@@ -1,0 +1,133 @@
+"""Tests for dynamic STU wrappers, contextualized MLPs, combined
+item+rating preprocessor, and SL/bucketing utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from generative_recommenders_tpu.modules.contextualize_mlps import (
+    ParameterizedContextualizedMLP,
+    SimpleContextualizedMLP,
+)
+from generative_recommenders_tpu.modules.dynamic_stu import L2STU, SDSTU
+from generative_recommenders_tpu.modules.stu import STULayer, STULayerConfig
+from generative_recommenders_tpu.models.preprocessors import (
+    CombinedItemAndRatingInputFeaturesPreprocessor,
+)
+from generative_recommenders_tpu.utils.bucketing import (
+    apply_stochastic_length,
+    autotune_max_seq_len,
+    prev_power_of_2,
+    truncate_to_stochastic_length,
+)
+
+_CFG = STULayerConfig(
+    embedding_dim=16, num_heads=2, hidden_dim=8, attention_dim=8,
+    output_dropout_ratio=0.0, attn_kernel="xla",
+)
+
+
+def test_sdstu_skip_and_pass():
+    layer = SDSTU(STULayer(_CFG), dropout_ratio=1.0)  # always skip
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8, 16)), jnp.float32
+    )
+    lengths = jnp.full((2,), 8, jnp.int32)
+    params = layer.init(
+        {"params": jax.random.PRNGKey(0),
+         "stochastic_depth": jax.random.PRNGKey(1)},
+        x, lengths, None, False,
+    )
+    out = layer.apply(
+        params, x, lengths, None, False,
+        rngs={"stochastic_depth": jax.random.PRNGKey(2)},
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+    # deterministic (inference) runs the layer
+    out2 = layer.apply(params, x, lengths, None, True)
+    assert float(jnp.max(jnp.abs(out2 - x))) > 0.0
+
+
+def test_l2stu_prefix_passthrough_and_window_equivalence():
+    layer = L2STU(STULayer(_CFG), max_l2_len=4)
+    B, N = 2, 10
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, N, 16)), jnp.float32)
+    lengths = jnp.asarray([10, 6], jnp.int32)
+    x = x * (jnp.arange(N)[None, :] < lengths[:, None])[:, :, None]
+    params = layer.init(jax.random.PRNGKey(0), x, lengths, None, True)
+    out = layer.apply(params, x, lengths, None, True)
+    # prefix (positions < length - 4) unchanged
+    np.testing.assert_array_equal(np.asarray(out[0, :6]), np.asarray(x[0, :6]))
+    np.testing.assert_array_equal(np.asarray(out[1, :2]), np.asarray(x[1, :2]))
+    # window equals running the bare STU on the window alone
+    inner_params = {"params": params["params"]["stu"]}
+    stu = STULayer(_CFG)
+    win0 = stu.apply(inner_params, x[0:1, 6:10], jnp.asarray([4]), None, True)
+    np.testing.assert_allclose(
+        np.asarray(out[0, 6:10]), np.asarray(win0[0]), rtol=1e-5
+    )
+
+
+def test_contextualized_mlps():
+    B, N = 3, 5
+    rng = np.random.default_rng(0)
+    seq = jnp.asarray(rng.standard_normal((B, N, 8)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((B, 12)), jnp.float32)
+    simple = SimpleContextualizedMLP(sequential_output_dim=6, hidden_dim=16)
+    p = simple.init(jax.random.PRNGKey(0), seq, ctx)
+    assert simple.apply(p, seq, ctx).shape == (B, N, 6)
+    pmlp = ParameterizedContextualizedMLP(
+        sequential_input_dim=8, sequential_output_dim=6, hidden_dim=16
+    )
+    p = pmlp.init(jax.random.PRNGKey(0), seq, ctx)
+    out = pmlp.apply(p, seq, ctx)
+    assert out.shape == (B, N, 6)
+    # different context -> different per-example transform
+    out2 = pmlp.apply(p, seq, ctx + 1.0)
+    assert float(jnp.max(jnp.abs(out - out2))) > 1e-3
+
+
+def test_combined_item_rating_preprocessor_interleave():
+    B, N, D = 2, 4, 8
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray([[1, 2, 3, 0], [5, 0, 0, 0]], jnp.int32)
+    lengths = jnp.asarray([3, 1], jnp.int32)
+    emb = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    ratings = jnp.asarray([[1, 4, 2, 0], [3, 0, 0, 0]], jnp.int32)
+    pre = CombinedItemAndRatingInputFeaturesPreprocessor(
+        max_sequence_len=N, embedding_dim=D, dropout_rate=0.0, num_ratings=5
+    )
+    params = pre.init(
+        jax.random.PRNGKey(0), lengths, ids, emb, {"ratings": ratings}, True
+    )
+    new_lengths, out, mask = pre.apply(
+        params, lengths, ids, emb, {"ratings": ratings}, True
+    )
+    assert out.shape == (B, 2 * N, D)
+    np.testing.assert_array_equal(np.asarray(new_lengths), [6, 2])
+    # masked positions zero; pair positions of a padding item both zero
+    np.testing.assert_array_equal(np.asarray(out[0, 6:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(out[1, 2:]), 0.0)
+
+
+def test_bucketing_and_stochastic_length():
+    assert prev_power_of_2(1) == 1
+    assert prev_power_of_2(8) == 8
+    assert prev_power_of_2(9) == 8
+    assert autotune_max_seq_len(130, [128, 256, 1024]) == 256
+    assert autotune_max_seq_len(2000, [128, 256, 1024]) == 1024
+    assert autotune_max_seq_len(100, None, use_runtime=True) == 64
+
+    lengths = jnp.asarray([4, 100, 200], jnp.int32)
+    new = apply_stochastic_length(
+        lengths, alpha=1.6, max_seq_len=200, rng=jax.random.PRNGKey(0)
+    )
+    thr = int(200 ** 0.8)
+    assert int(new[0]) == 4  # below threshold: untouched
+    assert all(int(x) <= 200 for x in new)
+    ids = jnp.asarray([[1, 2, 3, 4, 5, 0]], jnp.int32)
+    out = truncate_to_stochastic_length(
+        ids, jnp.asarray([5]), jnp.asarray([3])
+    )
+    np.testing.assert_array_equal(np.asarray(out[0]), [3, 4, 5, 0, 0, 0])
