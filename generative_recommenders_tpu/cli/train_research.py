@@ -102,7 +102,6 @@ def main() -> None:
     assert args.preset in RESEARCH_PRESETS, (
         f"unknown preset {args.preset}; use --list_presets"
     )
-    assert args.data_csv, "--data_csv required (run preprocess_public_data)"
     cfg = RESEARCH_PRESETS[args.preset]
     overrides = {}
     if args.num_epochs is not None:
@@ -114,12 +113,21 @@ def main() -> None:
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
 
-    seqs = load_sasrec_format_csv(args.data_csv)
     N = cfg.model.max_sequence_len
-    # reference split: train ignores the last item, eval targets it
-    # (`research/data/reco_dataset.py:39-178` chronological split)
-    train_ds = SequenceDataset(seqs, max_sequence_length=N, ignore_last_n=1)
-    eval_ds = SequenceDataset(seqs, max_sequence_length=N, ignore_last_n=0)
+    if args.data_csv:
+        seqs = load_sasrec_format_csv(args.data_csv)
+        # reference split: train ignores the last item, eval targets it
+        # (`research/data/reco_dataset.py:39-178` chronological split)
+        train_ds = SequenceDataset(seqs, max_sequence_length=N, ignore_last_n=1)
+        eval_ds = SequenceDataset(seqs, max_sequence_length=N, ignore_last_n=0)
+    else:
+        from generative_recommenders_tpu.data.reco_dataset import (
+            get_reco_dataset,
+        )
+
+        dataset_name = args.preset.split("/")[0]
+        reco = get_reco_dataset(dataset_name, N)
+        train_ds, eval_ds = reco.train_dataset, reco.eval_dataset
     logger.info(
         "dataset: %d users, %d items; devices: %s",
         len(train_ds), cfg.model.num_items, jax.devices(),

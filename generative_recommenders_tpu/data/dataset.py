@@ -119,6 +119,7 @@ class SequenceDataset:
         chronological: bool = True,
         sample_ratio: float = 1.0,
         seed: int = 0,
+        shift_id_by: int = 0,
     ) -> None:
         self._seq = sequences
         self._max_seq_len = max_sequence_length
@@ -126,12 +127,15 @@ class SequenceDataset:
         self._chronological = chronological
         self._sample_ratio = sample_ratio
         self._rng = np.random.default_rng(seed)
+        self._shift_id_by = shift_id_by  # amzn ids are 0-based (`reco_dataset.py:93-106`)
 
     def __len__(self) -> int:
         return len(self._seq)
 
     def get_row(self, idx: int) -> Dict[str, np.ndarray]:
         items = self._seq.item_ids[idx]
+        if self._shift_id_by:
+            items = items + self._shift_id_by
         ratings = self._seq.ratings[idx]
         ts = self._seq.timestamps[idx]
         if self._ignore_last_n > 0:
@@ -174,7 +178,7 @@ class SequenceDataset:
         }
 
     def all_item_ids(self) -> np.ndarray:
-        ids = np.unique(np.concatenate(self._seq.item_ids))
+        ids = np.unique(np.concatenate(self._seq.item_ids)) + self._shift_id_by
         return ids[ids > 0]
 
 

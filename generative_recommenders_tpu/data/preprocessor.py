@@ -140,6 +140,26 @@ class MovielensDataProcessor(DataProcessor):
                     "rating": u, "unix_timestamp": m,  # placeholders (:206-208)
                 }
             )
+        if self.prefix in ("ml-1m", "ml-20m"):
+            movies_path = (
+                f"{self.data_root}/{self.prefix}/movies.dat"
+                if self.prefix == "ml-1m"
+                else f"{self.data_root}/{self.prefix}/movies.csv"
+            )
+            if os.path.exists(movies_path):
+                if self.prefix == "ml-1m":
+                    movies = pd.read_csv(
+                        movies_path, sep="::", engine="python",
+                        names=["movie_id", "title", "genres"],
+                        encoding="iso-8859-1",
+                    )
+                else:
+                    movies = pd.read_csv(
+                        movies_path, sep=",", encoding="iso-8859-1"
+                    ).rename(columns={"movieId": "movie_id"})
+                out_dir = f"{self.data_root}/processed/{self.prefix}"
+                os.makedirs(out_dir, exist_ok=True)
+                movies.to_csv(f"{out_dir}/movies.csv", index=False)
         return self._write_seq_csv(
             ratings, users, time_col="unix_timestamp", item_col="movie_id"
         )

@@ -217,6 +217,9 @@ class HSTUEncoder(nn.Module):
     concat_ua: bool = False
     normalization: str = "rel_bias"
     attn_kernel: str = "xla"
+    remat: bool = False  # activation recomputation per block
+    # (the reference's recompute flags, `modules/stu.py:76-78` /
+    # `sampled_softmax.py:170-175` — on TPU one jax.checkpoint per block)
 
     @nn.compact
     def __call__(
@@ -229,8 +232,13 @@ class HSTUEncoder(nn.Module):
         B, N, D = user_embeddings.shape
         mask = make_causal_mask(N, dtype=jnp.bool_)
         x = user_embeddings
+        block_cls = (
+            nn.remat(SequentialTransductionUnit, static_argnums=(5,))
+            if self.remat
+            else SequentialTransductionUnit
+        )
         for i in range(self.num_blocks):
-            x = SequentialTransductionUnit(
+            x = block_cls(
                 embedding_dim=D,
                 linear_dim=self.linear_dim,
                 attention_dim=self.attention_dim,
@@ -243,5 +251,5 @@ class HSTUEncoder(nn.Module):
                 normalization=self.normalization,
                 attn_kernel=self.attn_kernel,
                 name=f"layer_{i}",
-            )(x, lengths, all_timestamps, mask, deterministic=deterministic)
+            )(x, lengths, all_timestamps, mask, deterministic)
         return x

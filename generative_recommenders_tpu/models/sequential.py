@@ -55,6 +55,7 @@ class ModelConfig:
     ffn_activation_fn: str = "relu"
     attn_kernel: str = "xla"  # "xla" | "pallas"
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    remat: bool = False  # per-block activation recomputation
     # similarity (`research/modeling/similarity_utils.py:204-223`)
     interaction_module_type: str = "DotProduct"  # "DotProduct" | "MoL"
     mol_config: Optional[MoLConfig] = None
@@ -102,6 +103,7 @@ class SequentialRecommender(nn.Module):
                 enable_relative_attention_bias=cfg.enable_relative_attention_bias,
                 concat_ua=cfg.concat_ua,
                 attn_kernel=cfg.attn_kernel,
+                remat=cfg.remat,
             )
         elif cfg.main_module == "SASRec":
             self.encoder = SASRecEncoder(
