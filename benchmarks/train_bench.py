@@ -1,0 +1,132 @@
+"""Training-throughput benchmark: examples/s/chip at the north-star config.
+
+Measures the jitted research train step at the ML-20M HSTU-large shape
+(`configs/ml-20m/hstu-sampled-softmax-n128-large-final.gin`: 16 blocks, 8
+heads, dqk=dv=32, d=256, N=200, B=128, 128 sampled negatives) on synthetic
+data, in two variants:
+
+  * parity:      XLA attention + relative time/position bias, f32
+                 (the exact quality configuration)
+  * production:  Pallas flash-HSTU attention (no rel bias — the production
+                 stack uses the fused positional encoder instead), bf16
+
+Timing: params/opt-state are loop carries, so a fori_loop of train steps is
+serialized by true data dependencies; per-dispatch relay noise cancels via
+the two-length differential (see bench.py).
+
+    python benchmarks/train_bench.py [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure(cfg, batch, n_lo=4, n_hi=12):
+    from generative_recommenders_tpu.train.train_loop import ResearchTrainer
+
+    trainer = ResearchTrainer(cfg, np.arange(1, cfg.model.num_items + 1))
+    rng = jax.random.PRNGKey(0)
+    params = trainer.init_params(rng)
+    opt_state = trainer.init_opt_state(params)
+
+    def make(n):
+        @jax.jit
+        def f(params, opt_state, batch, rng):
+            def body(i, c):
+                p, o = c
+                p, o, _ = trainer._train_step_impl(
+                    p, o, batch, jax.random.fold_in(rng, i)
+                )
+                return (p, o)
+
+            return jax.lax.fori_loop(0, n, body, (params, opt_state))
+
+        return f
+
+    f_lo, f_hi = make(n_lo), make(n_hi)
+
+    def run(f):
+        p, o = f(params, opt_state, batch, rng)
+        # force completion via scalar host read
+        return float(
+            jnp.sum(jax.tree_util.tree_leaves(p)[0][:1].astype(jnp.float32))
+        )
+
+    run(f_lo)
+    run(f_hi)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run(f_lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(f_hi)
+        t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
+    return best
+
+
+def main() -> None:
+    from generative_recommenders_tpu.configs.research import RESEARCH_PRESETS
+    import dataclasses
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--num_items", type=int, default=131262)
+    args = p.parse_args()
+
+    base = RESEARCH_PRESETS["ml-20m/hstu-sampled-softmax-n128-large"]
+    base = dataclasses.replace(base, local_batch_size=args.batch_size)
+    B, N = args.batch_size, base.model.total_seq_len
+    rng = np.random.default_rng(0)
+    Nh = base.model.max_sequence_len
+    lengths = np.clip(rng.integers(20, Nh, (B,)), 1, Nh).astype(np.int64)
+    ids = rng.integers(1, args.num_items, (B, Nh)).astype(np.int64)
+    ids = np.where(np.arange(Nh)[None, :] < lengths[:, None], ids, 0)
+    ts = np.sort(rng.integers(1, 1 << 20, (B, Nh)), axis=1).astype(np.int64)
+    batch = {
+        "historical_ids": jnp.asarray(ids),
+        "historical_ratings": jnp.asarray(np.ones_like(ids)),
+        "historical_timestamps": jnp.asarray(ts),
+        "history_lengths": jnp.asarray(lengths),
+        "target_ids": jnp.asarray(rng.integers(1, args.num_items, (B,))),
+        "target_ratings": jnp.asarray(np.ones((B,), np.int64)),
+        "target_timestamps": jnp.asarray(ts.max(axis=1) + 1),
+    }
+
+    results = {}
+    for name, model_over in (
+        ("parity_xla_bias_f32", {}),
+        (
+            "production_pallas_bf16",
+            {
+                "attn_kernel": "pallas",
+                "enable_relative_attention_bias": False,
+                "compute_dtype": "bfloat16",
+            },
+        ),
+    ):
+        cfg = dataclasses.replace(
+            base,
+            model=dataclasses.replace(
+                base.model, num_items=args.num_items, **model_over
+            ),
+        )
+        t = measure(cfg, batch)
+        results[name] = {
+            "step_ms": round(t * 1e3, 2),
+            "examples_per_s": round(args.batch_size / t, 1),
+        }
+        print(name, results[name], flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

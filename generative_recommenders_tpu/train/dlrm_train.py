@@ -55,6 +55,7 @@ class DlrmTrainConfig:
     ckpt_dir: Optional[str] = None
     save_every: int = 0  # batches; 0 = only at end
     output_trace: bool = False
+    tb_log_dir: Optional[str] = None
 
 
 class DlrmTrainer:
@@ -176,9 +177,12 @@ def train_loop(
     seed: int = 0,
 ) -> Dict[str, Any]:
     """`dlrm_v3/train/utils.py:320-376`."""
+    from generative_recommenders_tpu.utils.tb import SummaryLogger
+
     cfg = trainer.cfg
     rng = jax.random.PRNGKey(seed)
     metrics = MetricsLogger(trainer.hstu_cfg.multitask_configs)
+    tb = SummaryLogger(cfg.tb_log_dir)
     profiler = Profiler() if cfg.output_trace else None
     params = opt_state = None
     t0 = time.time()
@@ -204,13 +208,15 @@ def train_loop(
                 "step %d: loss %.5f (%.1f ex/s)",
                 step, float(loss), n_examples / (time.time() - t0),
             )
-            metrics.compute_and_log(step)
+            tb.scalar("losses/total", float(loss), step)
+            tb.scalars(metrics.compute_and_log(step), step, prefix="train/")
         if cfg.ckpt_dir and cfg.save_every and step and step % cfg.save_every == 0:
             save_checkpoint(cfg.ckpt_dir, params, step)
     if profiler is not None:
         profiler.close()
     if cfg.ckpt_dir:
         save_checkpoint(cfg.ckpt_dir, params, step + 1)
+    tb.close()
     return {
         "params": params,
         "opt_state": opt_state,

@@ -365,8 +365,12 @@ def train_loop(
     eval_dataset: SequenceDataset,
     log_every: int = 100,
     max_steps: Optional[int] = None,
+    tb_log_dir: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Epoch driver mirroring `train_fn`'s hot loop (`train.py:306-521`)."""
+    from generative_recommenders_tpu.utils.tb import SummaryLogger
+
+    tb = SummaryLogger(tb_log_dir)
     trainer = ResearchTrainer(cfg, train_dataset.all_item_ids())
     rng = jax.random.PRNGKey(cfg.random_seed)
     rng, init_rng = jax.random.split(rng)
@@ -390,6 +394,7 @@ def train_loop(
                     "step %d (epoch %d, %.1fs): loss %.6f",
                     batch_id, epoch, time.time() - t0, float(loss),
                 )
+                tb.scalar("losses/ar_loss", float(loss), batch_id)
             batch_id += 1
             if max_steps is not None and batch_id >= max_steps:
                 break
@@ -405,6 +410,7 @@ def train_loop(
         )
         metrics["epoch"] = epoch
         history.append(metrics)
+        tb.scalars(metrics, batch_id, prefix="eval/")
         logger.info(
             "eval epoch %d: NDCG@10 %.4f HR@10 %.4f HR@50 %.4f MRR %.4f",
             epoch,
@@ -415,4 +421,5 @@ def train_loop(
         )
         if max_steps is not None and batch_id >= max_steps:
             break
+    tb.close()
     return {"params": params, "opt_state": opt_state, "history": history}
