@@ -560,6 +560,17 @@ def hstu_mha_dense_pallas(
         if num_targets is None
         else num_targets.astype(jnp.int32)
     )
+    # Pad N to a tile-aligned length: unaligned blocks (e.g. the research
+    # stack's N=211) force Mosaic into slow unaligned layouts. Extra rows
+    # are beyond every row's length, so the masks keep them dead.
+    N_orig = N
+    N_pad = (-N) % (128 if N >= 128 else 8)
+    if N_pad:
+        pad4 = ((0, 0), (0, N_pad), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad4), jnp.pad(k, pad4), jnp.pad(v, pad4)
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, N_pad), (0, N_pad)))
+        N = N + N_pad
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
@@ -577,4 +588,7 @@ def hstu_mha_dense_pallas(
             alpha, max_seq_len, causal, max_attn_len, contextual_seq_len,
             min_full_attn_seq_len, block_q, block_k, interpret,
         )
-    return jnp.transpose(out, (0, 2, 1, 3))
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    if N_pad:
+        out = out[:, :N_orig]
+    return out
