@@ -77,7 +77,15 @@ class RelativeBucketedTimeAndPositionBasedBias(nn.Module):
             self.num_buckets,
         )
         bucketed = jax.lax.stop_gradient(bucketed)
-        rel_ts_bias = jnp.take(ts_w, bucketed, axis=0)  # [B, N, N]
+        # one-hot compare-reduce instead of jnp.take: XLA lowers a
+        # scalar-element gather from this tiny table at [B, N, N] indices
+        # ~40x slower than the fused compare+select reduction (44ms vs
+        # 1.4ms at B128/N211 on v5e), and its scatter-add transpose is
+        # similarly bad; this formulation also autodiffs to the fast form.
+        iota = jnp.arange(self.num_buckets + 1, dtype=jnp.int32)
+        rel_ts_bias = jnp.sum(
+            jnp.where(bucketed[..., None] == iota, ts_w, 0.0), axis=-1
+        )  # [B, N, N]
         return rel_pos_bias + rel_ts_bias
 
 

@@ -73,3 +73,48 @@ def make_causal_mask(N: int, dtype=jnp.float32) -> jax.Array:
     """Lower-triangular (inclusive) [N, N] mask used by the research-stack models
     (`research/modeling/sequential/hstu.py:626-638`: 1 - triu(ones, 1))."""
     return jnp.tril(jnp.ones((N, N), dtype=dtype))
+
+
+def make_delta_attn_mask(
+    N: int,
+    seq_lengths: jax.Array,  # int[B] — full (cache + delta) lengths
+    row_positions: jax.Array,  # int[B, M] — absolute query positions
+    causal: bool = True,
+    num_targets: Optional[jax.Array] = None,
+    max_attn_len: int = 0,
+    contextual_seq_len: int = 0,
+    min_full_attn_seq_len: int = 0,
+) -> jax.Array:
+    """Rows [b, row_positions[b, m], :] of `make_valid_attn_mask` computed
+    directly as bool[B, M, N] — the M-FALCON delta path needs only the M
+    newest rows, and materializing the full [B, N, N] mask to slice them
+    (`pt_hstu_attention.py:213-232`) is O(N^2) memory per example."""
+    B, M = row_positions.shape
+    cols = jnp.arange(N, dtype=jnp.int32)[None, None, :]  # [1, 1, N]
+    rows_raw = row_positions.astype(jnp.int32)[:, :, None]  # [B, M, 1]
+    max_ids = seq_lengths.reshape(B, 1, 1).astype(jnp.int32)
+    rows, col_ids = rows_raw, cols
+    if contextual_seq_len > 0:
+        rows = jnp.maximum(rows - contextual_seq_len + 1, 0)
+        col_ids = jnp.maximum(cols - contextual_seq_len + 1, 0)
+        max_ids = max_ids - contextual_seq_len + 1
+    if num_targets is not None:
+        max_ids = max_ids - num_targets.reshape(B, 1, 1).astype(jnp.int32)
+        rows = jnp.minimum(rows, max_ids)
+        col_ids = jnp.minimum(col_ids, max_ids)
+    dist = rows - col_ids
+    if not causal:
+        dist = jnp.abs(dist)
+    valid = jnp.logical_or(dist > 0, rows_raw == cols)
+    if max_attn_len > 0:
+        window = dist <= max_attn_len
+        if min_full_attn_seq_len > 0:
+            window = jnp.logical_or(
+                window, rows >= max_ids - min_full_attn_seq_len
+            )
+        valid = jnp.logical_and(valid, window)
+    if contextual_seq_len > 0:
+        valid = jnp.logical_or(
+            valid, jnp.logical_and(rows == 0, col_ids < max_ids)
+        )
+    return valid

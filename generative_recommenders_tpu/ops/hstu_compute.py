@@ -19,7 +19,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from generative_recommenders_tpu.ops.attention_mask import make_valid_attn_mask
+from generative_recommenders_tpu.ops.attention_mask import (
+    make_delta_attn_mask,
+    make_valid_attn_mask,
+)
 from generative_recommenders_tpu.ops.normalization import layer_norm
 
 
@@ -162,22 +165,21 @@ def delta_hstu_mha(
         "bmhd,bnhd->bhmn", delta_q, k, preferred_element_type=jnp.float32
     ) * alpha
     p = jax.nn.silu(qk) / (norm_len or N)
-    full_mask = make_valid_attn_mask(
-        N,
-        seq_lengths,
-        causal=True,
-        num_targets=num_targets,
-        max_attn_len=max_attn_len,
-        contextual_seq_len=contextual_seq_len,
-    )  # [B, N, N]
-    # rows [length - M, length) of the full mask
+    # delta rows sit at positions [length - M, length); compute just those
+    # mask rows directly ([B, M, N]) instead of materializing [B, N, N]
     row_idx = (seq_lengths[:, None] - M + jnp.arange(M)[None, :]).astype(
         jnp.int32
     )  # [B, M]
     row_idx = jnp.clip(row_idx, 0, N - 1)
-    delta_mask = jnp.take_along_axis(
-        full_mask, row_idx[:, :, None], axis=1
-    )  # [B, M, N]
+    delta_mask = make_delta_attn_mask(
+        N,
+        seq_lengths,
+        row_idx,
+        causal=True,
+        num_targets=num_targets,
+        max_attn_len=max_attn_len,
+        contextual_seq_len=contextual_seq_len,
+    )
     p = p * delta_mask[:, None, :, :].astype(p.dtype)
     out = jnp.einsum(
         "bhmn,bnhv->bmhv", p.astype(v.dtype), v,

@@ -28,6 +28,7 @@ from generative_recommenders_tpu.data.features import (
 )
 from generative_recommenders_tpu.models.losses import (
     bce_loss,
+    bce_loss_with_ratings,
     sampled_softmax_loss,
     sampled_softmax_loss_from_logits,
 )
@@ -190,9 +191,24 @@ class ResearchTrainer:
                 1 if cfg.loss_module == "BCELoss" else cfg.num_negatives,
             )
         else:
-            emb_fn = lambda ids: apply(
-                params, ids, method=SequentialRecommender.get_item_embeddings
-            )
+            if cfg.model.compute_dtype == "bfloat16":
+                # negatives gather is HBM-bound (3.4M rows/step at the
+                # flagship config); a bf16 table gather is ~3x faster and
+                # the sampled-softmax logits tolerate it (the loss still
+                # log-softmaxes in f32)
+                table = params["params"]["embedding_module"]["item_emb"]
+                table16 = table.astype(jnp.bfloat16)
+
+                def emb_fn(ids):
+                    e = jnp.take(
+                        table16, jnp.clip(ids, 0, cfg.model.num_items), axis=0
+                    )
+                    return e * (ids != 0)[..., None].astype(e.dtype)
+
+            else:
+                emb_fn = lambda ids: apply(
+                    params, ids, method=SequentialRecommender.get_item_embeddings
+                )
             neg_ids, neg_emb = self.sampler(
                 rng_neg, sup_ids,
                 1 if cfg.loss_module == "BCELoss" else cfg.num_negatives,
@@ -237,6 +253,26 @@ class ResearchTrainer:
             loss, aux = bce_loss(
                 output, pos_emb, sup_ids, ar_mask, neg_ids, neg_emb,
                 temperature=cfg.temperature,
+            )
+        elif cfg.loss_module == "BCELossWithRatings":
+            assert not is_mol, "BCELossWithRatings + MoL is not wired up"
+            sup_ratings = (
+                batch["historical_ratings"].astype(jnp.int32)[:, 1:]
+                if cfg.model.gr_output_length == 0
+                else jnp.concatenate(
+                    [
+                        batch["historical_ratings"].astype(jnp.int32),
+                        jnp.zeros(
+                            (output.shape[0], cfg.model.gr_output_length + 1),
+                            jnp.int32,
+                        ),
+                    ],
+                    axis=1,
+                )[:, 1 : output.shape[1] + 1]
+            )
+            loss, aux = bce_loss_with_ratings(
+                output, pos_emb, (sup_ratings > 3).astype(jnp.float32),
+                ar_mask, temperature=cfg.temperature,
             )
         else:
             raise ValueError(f"Unknown loss_module {cfg.loss_module}")
