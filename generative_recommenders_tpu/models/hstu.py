@@ -154,7 +154,13 @@ class SequentialTransductionUnit(nn.Module):
         if self.attn_dropout_ratio > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
 
-        if self.attn_kernel == "pallas":
+        attn_kernel = self.attn_kernel
+        if attn_kernel == "auto":
+            # fused XLA attention wins below N~512 on v5e (per-step grid
+            # overhead dominates the Pallas path at short N); the flash
+            # kernel wins ~2.7x at N>=1024 — measured in benchmarks/
+            attn_kernel = "pallas" if N >= 512 else "xla"
+        if attn_kernel == "pallas":
             from generative_recommenders_tpu.ops.pallas.hstu_attention import (
                 hstu_mha_dense_pallas,
             )

@@ -155,7 +155,10 @@ class STULayer(nn.Module):
         norm_len = cfg.norm_seq_len or N
         u, q, k, v = self._uqvk(x)
         nt = num_targets if cfg.target_aware else None
-        if cfg.attn_kernel == "pallas":
+        attn_kernel = cfg.attn_kernel
+        if attn_kernel == "auto":
+            attn_kernel = "pallas" if N >= 512 else "xla"
+        if attn_kernel == "pallas":
             from generative_recommenders_tpu.ops.pallas.hstu_attention import (
                 hstu_mha_dense_pallas,
             )

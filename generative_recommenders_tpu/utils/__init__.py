@@ -1,0 +1,1 @@
+"""Utilities: Orbax checkpointing, profiling, TB logging, SL/bucketing."""
