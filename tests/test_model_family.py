@@ -1,0 +1,65 @@
+"""Serving model-family tests: int8 quantization error bounds and
+quantized-vs-f32 prediction consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from generative_recommenders_tpu.configs.dlrm import (
+    get_embedding_table_config,
+    get_hstu_configs,
+)
+from generative_recommenders_tpu.data.dlrm_dataset import DLRMv3RandomDataset
+from generative_recommenders_tpu.inference.model_family import (
+    HSTUModelFamily,
+    quantize_table,
+)
+from generative_recommenders_tpu.modules.dlrm_hstu import DlrmHSTU
+
+
+def test_quantize_table_roundtrip():
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32) * 0.05)
+    q, scale = quantize_table(t)
+    assert q.dtype == jnp.int8
+    back = q.astype(jnp.float32) * scale
+    err = np.abs(np.asarray(back - t))
+    # row-wise absmax int8: error bounded by scale/2 per row
+    assert (err <= np.asarray(scale) * 0.51).all()
+
+
+def test_family_quantized_close_to_f32():
+    cfg = get_hstu_configs("debug", max_uih_len=16, max_num_candidates=3)
+    cfg = cfg.__class__(
+        **{
+            **cfg.__dict__,
+            "hstu_attn_num_layers": 1,
+            "hstu_embedding_table_dim": 16,
+            "hstu_transducer_embedding_dim": 32,
+            "hstu_attn_linear_dim": 16,
+            "hstu_attn_qk_dim": 16,
+            "hstu_num_heads": 2,
+            "contextual_feature_to_min_uih_length": (),
+        }
+    )
+    tables = get_embedding_table_config("debug", hash_size=64, dim=16)
+    model = DlrmHSTU(cfg, tables)
+    ds = DLRMv3RandomDataset(cfg, hash_size=64, batch_size=4, seed=0)
+    uih, ul, cands, nc = ds.batch()
+    uih = {k: jnp.asarray(v) for k, v in uih.items()}
+    cands = {k: jnp.asarray(v) for k, v in cands.items()}
+    ul, nc = jnp.asarray(ul), jnp.asarray(nc)
+    params = model.init(jax.random.PRNGKey(0), uih, ul, cands, nc, True)
+
+    fam_q = HSTUModelFamily(model, params, quantize=True)
+    fam_f = HSTUModelFamily(model, params, quantize=False)
+    pq = np.asarray(fam_q.predict(uih, ul, cands, nc))
+    pf = np.asarray(fam_f.predict(uih, ul, cands, nc))
+    assert pq.shape == pf.shape
+    # int8 tables perturb predictions only slightly
+    assert np.max(np.abs(pq - pf)) < 0.05
+    # f32 family ≡ direct model forward
+    _, _, _, direct, _, _ = model.apply(
+        params, uih, ul, cands, nc, True, False
+    )
+    np.testing.assert_allclose(pf, np.asarray(direct), rtol=1e-5, atol=1e-6)
