@@ -57,7 +57,7 @@ def main() -> None:
         hstu_mha_dense,
     )
 
-    B, N, H, D = 32, 1024, 4, 64
+    B, N, H, D = 8, 2048, 4, 64
     dtype = jnp.bfloat16
     rng = np.random.default_rng(0)
     lengths = jnp.asarray(
