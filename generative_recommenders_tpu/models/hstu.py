@@ -160,6 +160,16 @@ class SequentialTransductionUnit(nn.Module):
             # overhead dominates the Pallas path at short N); the flash
             # kernel wins ~2.7x at N>=1024 — measured in benchmarks/
             attn_kernel = "pallas" if N >= 512 else "xla"
+        if attn_kernel == "pallas" and bias is not None:
+            # the Pallas bias path is forward-only (no custom VJP); training
+            # with relative attention bias uses the fused XLA attention
+            # (with the bias gathers in their fast one-hot form)
+            attn_kernel = "xla"
+        if attn_kernel == "pallas" and self.attn_dropout_ratio > 0.0:
+            raise ValueError(
+                "attn_dropout_rate > 0 is not supported by the Pallas "
+                "attention kernel; use attn_kernel='xla'"
+            )
         if attn_kernel == "pallas":
             from generative_recommenders_tpu.ops.pallas.hstu_attention import (
                 hstu_mha_dense_pallas,

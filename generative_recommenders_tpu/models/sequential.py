@@ -249,9 +249,7 @@ class SequentialRecommender(nn.Module):
         return logits
 
 
-def get_current_embeddings(lengths: jax.Array, encoded: jax.Array) -> jax.Array:
-    """[b, :] = encoded[b, lengths[b] - 1, :]
-    (`research/modeling/sequential/utils.py:83-96`)."""
-    B, N, D = encoded.shape
-    idx = jnp.clip(lengths - 1, 0, N - 1).reshape(B, 1, 1)
-    return jnp.take_along_axis(encoded, jnp.broadcast_to(idx, (B, 1, D)), axis=1)[:, 0]
+# canonical implementation lives in models/seq_utils.py
+from generative_recommenders_tpu.models.seq_utils import (  # noqa: E402
+    get_current_embeddings,
+)

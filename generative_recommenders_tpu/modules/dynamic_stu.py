@@ -67,12 +67,15 @@ class L2STU(nn.Module):
         # contextual tokens never enter the window (`dynamic_stu.py:238-270`
         # splits them into the prefix); the inner STU therefore runs with
         # contextual_seq_len=0 (see STUStack wiring)
-        l2_lengths = jnp.minimum(lengths - C, w)
+        l2_lengths = jnp.maximum(jnp.minimum(lengths - C, w), 0)
         start = jnp.maximum(lengths - w, C)  # int[B]
         rows = jnp.arange(B, dtype=jnp.int32)[:, None]
         cols = start[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
-        cols = jnp.clip(cols, 0, N - 1)
-        window = x[rows, cols]  # [B, w, D]
+        # cols < C + w + N always; gather/scatter through a w-padded copy so
+        # indices are unique (clipping would alias column N-1 when
+        # contextual_seq_len > N - w, making the scatter nondeterministic)
+        xp = jnp.pad(x, ((0, 0), (0, w), (0, 0)))
+        window = xp[rows, cols]  # [B, w, D]
         # zero the positions beyond each row's l2 length (gather clamping
         # may have duplicated tail rows there)
         valid = (
@@ -80,6 +83,6 @@ class L2STU(nn.Module):
         )
         window = window * valid[:, :, None].astype(window.dtype)
         out_window = self.stu(window, l2_lengths, num_targets, deterministic)
-        return x.at[rows, cols].set(
-            jnp.where(valid[:, :, None], out_window, x[rows, cols])
-        )
+        return xp.at[rows, cols].set(
+            jnp.where(valid[:, :, None], out_window, xp[rows, cols])
+        )[:, :N]

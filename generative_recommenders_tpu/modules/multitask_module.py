@@ -123,9 +123,9 @@ class DefaultMultitaskModule(nn.Module):
             axis=0,
         ) * default_w  # invalid candidates never contribute
         # losses in fp32 (`multitask_module.py:252-262`)
-        bce = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
-            jnp.exp(-jnp.abs(logits))
-        )
+        from generative_recommenders_tpu.models.losses import _bce_with_logits
+
+        bce = _bce_with_logits(logits, labels)
         mse = jnp.square(logits - labels)
         per_elem = jnp.concatenate([bce[:n_cls], mse[n_cls:]], axis=0) * weights
         T = len(self.task_configs)

@@ -31,7 +31,10 @@ from generative_recommenders_tpu.ops.hstu_compute import (
     hstu_compute_output,
     hstu_compute_uqvk,
 )
-from generative_recommenders_tpu.ops.attention_mask import make_valid_attn_mask
+from generative_recommenders_tpu.ops.attention_mask import (
+    apply_padding_guard,
+    make_valid_attn_mask,
+)
 from generative_recommenders_tpu.ops.xla.hstu_attention import hstu_mha_dense
 
 
@@ -171,10 +174,13 @@ class STULayer(nn.Module):
                 contextual_seq_len=cfg.contextual_seq_len,
             )
         else:
-            mask = make_valid_attn_mask(
-                N, lengths, causal=cfg.causal, num_targets=nt,
-                max_attn_len=cfg.max_attn_len,
-                contextual_seq_len=cfg.contextual_seq_len,
+            mask = apply_padding_guard(
+                make_valid_attn_mask(
+                    N, lengths, causal=cfg.causal, num_targets=nt,
+                    max_attn_len=cfg.max_attn_len,
+                    contextual_seq_len=cfg.contextual_seq_len,
+                ),
+                lengths,
             )
             attn = hstu_mha_dense(
                 q, k, v, alpha=cfg.alpha, max_seq_len=norm_len, mask=mask

@@ -69,6 +69,21 @@ def make_valid_attn_mask(
     return valid
 
 
+def apply_padding_guard(
+    valid: jax.Array,  # bool[B, N, N]
+    seq_lengths: jax.Array,  # int[B]
+) -> jax.Array:
+    """AND the spec mask with row/col < length (the Pallas kernel applies
+    this internally). In the jagged spec the padded k/v are zero so the
+    guard is a no-op there; in the padded production path (STULayer) the
+    pad positions carry real projections of id-0 tokens and must be masked."""
+    B, N, _ = valid.shape
+    pos = jnp.arange(N, dtype=jnp.int32)
+    in_len_col = pos[None, None, :] < seq_lengths.reshape(B, 1, 1)
+    in_len_row = pos[None, :, None] < seq_lengths.reshape(B, 1, 1)
+    return jnp.logical_and(valid, jnp.logical_and(in_len_col, in_len_row))
+
+
 def make_causal_mask(N: int, dtype=jnp.float32) -> jax.Array:
     """Lower-triangular (inclusive) [N, N] mask used by the research-stack models
     (`research/modeling/sequential/hstu.py:626-638`: 1 - triu(ones, 1))."""

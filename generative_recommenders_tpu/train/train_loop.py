@@ -256,20 +256,16 @@ class ResearchTrainer:
             )
         elif cfg.loss_module == "BCELossWithRatings":
             assert not is_mol, "BCELossWithRatings + MoL is not wired up"
-            sup_ratings = (
-                batch["historical_ratings"].astype(jnp.int32)[:, 1:]
-                if cfg.model.gr_output_length == 0
-                else jnp.concatenate(
-                    [
-                        batch["historical_ratings"].astype(jnp.int32),
-                        jnp.zeros(
-                            (output.shape[0], cfg.model.gr_output_length + 1),
-                            jnp.int32,
-                        ),
-                    ],
-                    axis=1,
-                )[:, 1 : output.shape[1] + 1]
-            )
+            sup_ratings = jnp.concatenate(
+                [
+                    batch["historical_ratings"].astype(jnp.int32),
+                    jnp.zeros(
+                        (output.shape[0], cfg.model.gr_output_length + 1),
+                        jnp.int32,
+                    ),
+                ],
+                axis=1,
+            )[:, 1 : output.shape[1] + 1]
             loss, aux = bce_loss_with_ratings(
                 output, pos_emb, (sup_ratings > 3).astype(jnp.float32),
                 ar_mask, temperature=cfg.temperature,

@@ -50,8 +50,7 @@ def truncate_to_stochastic_length(
 def prev_power_of_2(x: int) -> int:
     if x <= 1:
         return 1
-    p = 1 << (int(x).bit_length() - 1)
-    return p if p == x else p
+    return 1 << (int(x).bit_length() - 1)
 
 
 def autotune_max_seq_len(
