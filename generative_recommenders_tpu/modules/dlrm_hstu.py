@@ -19,7 +19,7 @@ Batch layout (KeyedJaggedTensor analogue, padded-dense):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -102,6 +102,12 @@ class DlrmHSTUConfig:
 class DlrmHSTU(nn.Module):
     cfg: DlrmHSTUConfig
     embedding_tables: Tuple[EmbeddingTableConfig, ...]
+    # Distributed table-lookup engine: a callable (table f32[R, D],
+    # ids i32[B, N]) → f32[B, N, D]. ``None`` = plain jnp.take (single
+    # device / GSPMD default). The trainers bind the all-to-all exchange
+    # (`parallel/embedding.py:sharded_lookup`) here when the mesh has a
+    # model axis — the torchrec-DMP routing (`dlrm_v3/train/utils.py:230`).
+    lookup_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None
 
     def setup(self) -> None:
         cfg = self.cfg
@@ -192,6 +198,8 @@ class DlrmHSTU(nn.Module):
     # ------------------------------------------------------------- embedding
     def _lookup(self, feature: str, ids: jax.Array) -> jax.Array:
         table = self._tables[self._feature_to_table[feature]]
+        if self.lookup_fn is not None:
+            return self.lookup_fn(table, ids.astype(jnp.int32))
         return jnp.take(table, ids.astype(jnp.int32), axis=0)
 
     def preprocess(

@@ -106,9 +106,14 @@ def table_shapes_of(params: Any) -> set:
 
 
 def batch_shardings(mesh: Mesh, batch: Any) -> Any:
-    """Every batch leaf sharded on dim 0 over the "data" axis (replaces
-    DistributedSampler row sharding, `research/trainer/data_loader.py:38-46`)."""
-    s = NamedSharding(mesh, P(DATA_AXIS))
+    """Every batch leaf sharded on dim 0 over BOTH mesh axes (replaces
+    DistributedSampler row sharding, `research/trainer/data_loader.py:38-46`).
+
+    Sharding the batch over (data × model) makes every device a data shard —
+    torchrec's 1-rank-per-GPU topology — so dense-tower compute is never
+    replicated across the model axis and the embedding all-to-all exchange
+    (`parallel/embedding.py`) runs with per-device ids."""
+    s = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS)))
     return jax.tree_util.tree_map(lambda _: s, batch)
 
 

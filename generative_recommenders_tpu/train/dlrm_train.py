@@ -25,7 +25,8 @@ from generative_recommenders_tpu.modules.dlrm_hstu import (
     DlrmHSTUConfig,
     EmbeddingTableConfig,
 )
-from generative_recommenders_tpu.parallel.mesh import make_mesh
+from generative_recommenders_tpu.parallel.embedding import sharded_lookup
+from generative_recommenders_tpu.parallel.mesh import MODEL_AXIS, make_mesh
 from generative_recommenders_tpu.parallel.optimizers import make_dlrm_optimizer
 from generative_recommenders_tpu.parallel.sharding import (
     batch_shardings,
@@ -68,10 +69,16 @@ class DlrmTrainer:
         cfg: DlrmTrainConfig,
         mesh: Optional[Mesh] = None,
     ) -> None:
-        self.model = DlrmHSTU(hstu_cfg, tables)
+        self.mesh = mesh or make_mesh()
+        # bind the all-to-all sharded-embedding exchange (torchrec-DMP
+        # analogue, `parallel/embedding.py`) when the mesh row-shards tables
+        lookup_fn = None
+        if self.mesh.shape[MODEL_AXIS] > 1:
+            m = self.mesh
+            lookup_fn = lambda table, ids: sharded_lookup(table, ids, m)
+        self.model = DlrmHSTU(hstu_cfg, tables, lookup_fn=lookup_fn)
         self.cfg = cfg
         self.hstu_cfg = hstu_cfg
-        self.mesh = mesh or make_mesh()
         self.tx = None
         self._train_step = None
         self._eval_step = None

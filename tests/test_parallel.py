@@ -45,8 +45,8 @@ def test_sharded_lookup_grad_is_scatter_add(mesh):
     rng = jax.random.PRNGKey(0)
     state = create_sharded_embedding(rng, num_rows=32, dim=8, mesh=mesh)
     ids = jnp.array([[1, 1, 5, 31, 0], [2, 2, 2, 7, 31]], jnp.int32)
-    # ids must be data-shardable over 4 → pad batch to 4 rows
-    ids = jnp.concatenate([ids, ids], axis=0)
+    # ids must be shardable over the full 8-device mesh → 8 batch rows
+    ids = jnp.concatenate([ids, ids, ids, ids], axis=0)
 
     def f(table):
         out = sharded_lookup(table, ids, mesh)
@@ -65,8 +65,8 @@ def test_rowwise_adagrad_matches_dense_rule(mesh):
     rng = jax.random.PRNGKey(0)
     num_rows, D = 32, 8
     state = create_sharded_embedding(rng, num_rows=num_rows, dim=D, mesh=mesh)
-    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 6), 0, num_rows)
-    grads = jax.random.normal(jax.random.PRNGKey(2), (4, 6, D))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 6), 0, num_rows)
+    grads = jax.random.normal(jax.random.PRNGKey(2), (8, 6, D))
     lr = 0.1
     new = rowwise_adagrad_update(state, ids, grads, mesh, lr=lr)
 
@@ -109,3 +109,124 @@ def test_distributed_trainer_step_and_eval(mesh):
     item_embs = trainer._item_embs(p2)
     ranks, _ = trainer.encode_step(p2, batch, item_embs)
     assert ranks.shape == (16,)
+
+
+# ---------------------------------------------------------------------------
+# all-to-all embedding exchange (round-2 engine, parallel/embedding.py)
+
+
+def test_sharded_lookup_uneven_ownership(mesh):
+    """Skewed owner distribution (all ids on one shard) must route exactly."""
+    rng = jax.random.PRNGKey(3)
+    state = create_sharded_embedding(rng, num_rows=64, dim=16, mesh=mesh)
+    # every id owned by shard 1 (rows 32..63 on a 2-way model axis)
+    ids = jax.random.randint(jax.random.PRNGKey(4), (8, 7), 32, 64)
+    got = sharded_lookup(state.table, ids, mesh)
+    want = jnp.take(state.table, ids, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_sharded_lookup_1d_ids(mesh):
+    rng = jax.random.PRNGKey(5)
+    state = create_sharded_embedding(rng, num_rows=16, dim=4, mesh=mesh)
+    ids = jax.random.randint(jax.random.PRNGKey(6), (8,), 0, 16)
+    got = sharded_lookup(state.table, ids, mesh)
+    want = jnp.take(state.table, ids, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def _tiny_dlrm_trainer(mesh, n_layers=1):
+    from generative_recommenders_tpu.configs.dlrm import (
+        get_embedding_table_config,
+        get_hstu_configs,
+    )
+    from generative_recommenders_tpu.train.dlrm_train import (
+        DlrmTrainConfig,
+        DlrmTrainer,
+    )
+
+    hstu_cfg = get_hstu_configs("debug", max_uih_len=16, max_num_candidates=3)
+    hstu_cfg = type(hstu_cfg)(
+        **{
+            **hstu_cfg.__dict__,
+            "hstu_attn_num_layers": n_layers,
+            "hstu_embedding_table_dim": 16,
+            "hstu_transducer_embedding_dim": 32,
+            "hstu_attn_linear_dim": 16,
+            "hstu_attn_qk_dim": 16,
+            "hstu_num_heads": 2,
+            "hstu_input_dropout_ratio": 0.0,
+            "hstu_linear_dropout_rate": 0.0,
+            "contextual_feature_to_min_uih_length": (),
+        }
+    )
+    hash_size = 128
+    tables = get_embedding_table_config("debug", hash_size=hash_size, dim=16)
+    return (
+        DlrmTrainer(
+            hstu_cfg, tables, DlrmTrainConfig(batch_size=8), mesh=mesh
+        ),
+        hstu_cfg,
+        hash_size,
+    )
+
+
+def test_dlrm_train_step_mesh_parity():
+    """Sharded-embedding train step (model axis 2) ≡ pure-DP step (model
+    axis 1): the all-to-all lookup + routed gradient + sharded row-wise
+    Adagrad reproduce the single-shard math exactly (VERDICT round-1 #1)."""
+    from generative_recommenders_tpu.data.dlrm_dataset import (
+        DLRMv3RandomDataset,
+    )
+    from generative_recommenders_tpu.train.dlrm_train import _to_device
+
+    cpus = jax.devices("cpu")
+    losses = []
+    params_out = []
+    for shape in ((8, 1), (4, 2)):
+        mesh = make_mesh(shape=shape, devices=cpus)
+        trainer, hstu_cfg, hash_size = _tiny_dlrm_trainer(mesh)
+        ds = DLRMv3RandomDataset(
+            hstu_cfg, hash_size=hash_size, batch_size=8, seed=0
+        )
+        batch = _to_device(ds.batch())
+        params, opt = trainer.init_sharded(jax.random.PRNGKey(1), batch)
+        for step in range(2):
+            params, opt, loss, *_ = trainer.train_step(
+                params, opt, batch, jax.random.PRNGKey(7)
+            )
+        losses.append(float(loss))
+        params_out.append(jax.device_get(params))
+    assert np.allclose(losses[0], losses[1], rtol=1e-5), losses
+    flat0 = jax.tree_util.tree_leaves(params_out[0])
+    flat1 = jax.tree_util.tree_leaves(params_out[1])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=1e-6)
+
+
+def test_dlrm_train_step_no_table_allgather():
+    """The compiled sharded train step must not all-gather the embedding
+    table: comms are the id/vector exchange, not table replication."""
+    from generative_recommenders_tpu.data.dlrm_dataset import (
+        DLRMv3RandomDataset,
+    )
+    from generative_recommenders_tpu.train.dlrm_train import _to_device
+
+    cpus = jax.devices("cpu")
+    mesh = make_mesh(shape=(2, 4), devices=cpus)
+    trainer, hstu_cfg, hash_size = _tiny_dlrm_trainer(mesh)
+    ds = DLRMv3RandomDataset(
+        hstu_cfg, hash_size=hash_size, batch_size=8, seed=0
+    )
+    batch = _to_device(ds.batch())
+    params, opt = trainer.init_sharded(jax.random.PRNGKey(1), batch)
+    # build + compile the step once, then inspect its optimized HLO
+    trainer.train_step(params, opt, batch, jax.random.PRNGKey(2))
+    compiled = trainer._train_step.lower(
+        params, opt, batch, jax.random.PRNGKey(2)
+    ).compile()
+    hlo = compiled.as_text()
+    table_rows = hash_size  # sharded table: 32 rows/shard, 16 cols
+    for line in hlo.splitlines():
+        if "all-gather" in line and f"{table_rows},16" in line.replace(" ", ""):
+            raise AssertionError(f"table all-gather found: {line.strip()}")
