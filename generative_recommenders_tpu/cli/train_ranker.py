@@ -27,6 +27,12 @@ def main() -> None:
         choices=["debug", "movielens-1m", "movielens-20m", "kuairand-1k"],
     )
     p.add_argument("--mode", default="train", choices=["train", "eval"])
+    p.add_argument(
+        "--data_file", default=None,
+        help="dataset CSV (sasrec_format.csv for movielens, "
+        "processed_seqs.csv for kuairand); defaults to the preprocess "
+        "CLIs' output conventions",
+    )
     p.add_argument("--num_batches", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--max_uih_len", type=int, default=256)
@@ -91,11 +97,9 @@ def main() -> None:
         ),
         mesh=mesh,
     )
-    ds = DLRMv3RandomDataset(
-        hstu_cfg, hash_size=args.hash_size, batch_size=args.batch_size
-    )
+    batches = _make_batches(args, hstu_cfg)
     if args.mode == "train":
-        out = train_loop(trainer, ds.batches(args.num_batches))
+        out = train_loop(trainer, batches)
         logger.info(
             "done: %.1f examples/s; metrics %s",
             out["examples_per_s"],
@@ -104,7 +108,7 @@ def main() -> None:
     else:
         # eval from checkpoint
         assert args.ckpt_dir, "--ckpt_dir required for eval"
-        batch0 = next(ds.batches(1))
+        batch0 = next(_make_batches(args, hstu_cfg, num_batches=1))
         from generative_recommenders_tpu.train.dlrm_train import _to_device
         from generative_recommenders_tpu.utils.checkpoint import (
             restore_checkpoint,
@@ -114,8 +118,61 @@ def main() -> None:
             jax.random.PRNGKey(0), _to_device(batch0)
         )
         params = restore_checkpoint(args.ckpt_dir, params)
-        m = eval_loop(trainer, params, ds.batches(args.num_batches))
+        m = eval_loop(trainer, params, _make_batches(args, hstu_cfg))
         logger.info("eval metrics: %s", {k: round(v, 5) for k, v in m.items()})
+
+
+_DEFAULT_DATA_FILES = {
+    # outputs of cli.preprocess_public_data / cli.preprocess_dlrm_data
+    "movielens-1m": "data/ml-1m/sasrec_format.csv",
+    "movielens-20m": "data/ml-20m/sasrec_format.csv",
+    "kuairand-1k": "data/KuaiRand-1K/data/processed_seqs.csv",
+}
+
+
+def _make_batches(args, hstu_cfg, num_batches=None):
+    """Real-dataset wiring (`dlrm_v3/train/utils.py:271-317` analogue):
+    --dataset selects the matching public dataset; debug keeps the random
+    fixture dataset."""
+    num_batches = num_batches or args.num_batches
+    if args.dataset == "debug":
+        from generative_recommenders_tpu.data.dlrm_dataset import (
+            DLRMv3RandomDataset,
+        )
+
+        ds = DLRMv3RandomDataset(
+            hstu_cfg, hash_size=args.hash_size, batch_size=args.batch_size
+        )
+        return ds.batches(num_batches)
+    data_file = args.data_file or _DEFAULT_DATA_FILES[args.dataset]
+    import os
+
+    if not os.path.exists(data_file):
+        raise FileNotFoundError(
+            f"{data_file} not found — run the preprocess CLI first "
+            "(cli.preprocess_public_data for movielens, "
+            "cli.preprocess_dlrm_data for kuairand) or pass --data_file"
+        )
+    if args.dataset in ("movielens-1m", "movielens-20m"):
+        from generative_recommenders_tpu.data.dlrm_public_datasets import (
+            DLRMv3MovieLensDataset,
+        )
+
+        ds = DLRMv3MovieLensDataset(hstu_cfg, ratings_file=data_file)
+    else:
+        from generative_recommenders_tpu.data.dlrm_public_datasets import (
+            DLRMv3KuaiRandDataset,
+        )
+
+        ds = DLRMv3KuaiRandDataset(
+            hstu_cfg,
+            seq_logs_file=data_file,
+            hash_sizes={"video_id": args.hash_size},
+        )
+    return ds.batches(
+        args.batch_size, num_batches=num_batches,
+        shuffle=args.mode == "train",
+    )
 
 
 if __name__ == "__main__":

@@ -10,9 +10,11 @@ STUStack :421-466). Differences by design:
   * flax modules are functional, so the KV cache is an explicit `KVCache`
     value threaded through calls instead of mutable module state;
   * the reference's recompute_normed_x/uvqk/y flags select what the fused
-    Triton backward recomputes; here `recompute_uvqk=True` (the default)
-    maps to `nn.remat` over the whole layer — XLA rematerializes the
-    activations in backward;
+    Triton backward recomputes; here each flag maps to a
+    `jax.ad_checkpoint.checkpoint_name` tag on the corresponding
+    intermediate (`ops/hstu_compute.py`) and STUStack wraps the layer in
+    `nn.remat` with a `save_anything_except_these_names` policy — exactly
+    the flagged activations are rematerialized in backward;
   * `sort_by_length` (Triton load-balancing) has no TPU analogue: the Pallas
     grid skips dead blocks per-row already.
 """
@@ -25,6 +27,7 @@ from typing import List, NamedTuple, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from generative_recommenders_tpu.ops.hstu_compute import (
     delta_hstu_mha,
@@ -186,6 +189,10 @@ class STULayer(nn.Module):
                 q, k, v, alpha=cfg.alpha, max_seq_len=norm_len, mask=mask
             )
         attn = attn.reshape(B, N, cfg.num_heads * cfg.hidden_dim)
+        # saved under STUStack's remat policy: the Triton recompute flags
+        # never re-run attention in backward — y/uvqk/normed_x are
+        # recomputed FROM the saved attention output
+        attn = checkpoint_name(attn, "stu_attn")
         out = self._output(attn, u, x, deterministic)
         if kv_caching_lengths is not None:
             # prefill: cache only the first kv_caching_lengths[b] positions
@@ -263,7 +270,29 @@ class STUStack(nn.Module):
                 inner_cfg = dataclasses.replace(cfg, contextual_seq_len=0)
             else:
                 inner_cfg = cfg
-            layer = STULayer(inner_cfg, name=f"layer_{i}")
+            flags = (
+                (inner_cfg.recompute_normed_x, "stu_normed_x"),
+                (inner_cfg.recompute_uvqk, "stu_uvqk"),
+                (inner_cfg.recompute_y, "stu_y"),
+            )
+            if any(flag for flag, _ in flags):
+                # save the attention output + every non-flagged intermediate;
+                # flagged ones are rematerialized in backward (the Triton
+                # fused-bwd recompute semantics,
+                # `triton_hstu_preprocess_and_attention.py:112-118`)
+                saved = ["stu_attn"] + [
+                    name for flag, name in flags if not flag
+                ]
+                layer_cls = nn.remat(
+                    STULayer,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        *saved
+                    ),
+                    static_argnums=(4,),  # deterministic
+                )
+            else:
+                layer_cls = STULayer
+            layer = layer_cls(inner_cfg, name=f"layer_{i}")
             if self.stochastic_depth_ratio > 0.0:
                 layer = SDSTU(
                     layer, self.stochastic_depth_ratio, name=f"sd_{i}"

@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from generative_recommenders_tpu.ops.attention_mask import (
     make_delta_attn_mask,
@@ -48,6 +49,11 @@ def hstu_compute_uqvk(
     normed_x = layer_norm(
         x, weight=norm_weight, bias=norm_bias, eps=norm_eps
     )
+    # checkpoint_name tags make the STULayerConfig.recompute_* flags real:
+    # under STUStack's nn.remat policy the named values are recomputed in
+    # backward instead of saved (reference recompute flags,
+    # `triton_hstu_preprocess_and_attention.py:112-118`)
+    normed_x = checkpoint_name(normed_x, "stu_normed_x")
     uvqk = (
         jnp.einsum(
             "bnd,de->bne", normed_x, uvqk_weight,
@@ -55,6 +61,7 @@ def hstu_compute_uqvk(
         )
         + uvqk_bias
     ).astype(x.dtype)
+    uvqk = checkpoint_name(uvqk, "stu_uvqk")
     h, a = hidden_dim * num_heads, attn_dim * num_heads
     u, v, q, k = jnp.split(uvqk, [h, 2 * h, 2 * h + a], axis=-1)
     u = jax.nn.silu(u)
@@ -106,7 +113,7 @@ def norm_mul_dropout(
         assert dropout_rng is not None
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_ratio, y.shape)
         y = jnp.where(keep, y / (1.0 - dropout_ratio), 0.0)
-    return y.astype(dtype)
+    return checkpoint_name(y.astype(dtype), "stu_y")
 
 
 def hstu_compute_output(
