@@ -80,6 +80,14 @@ def main() -> None:
     p.add_argument("--attn_kernel", default=None, choices=["xla", "pallas"])
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--list_presets", action="store_true")
+    p.add_argument(
+        "--stochastic_length_alpha", type=float, default=None,
+        help="SL sampling alpha (`common.py:204-216`); 0/unset = off",
+    )
+    p.add_argument(
+        "--seq_len_buckets", default=None,
+        help="comma-separated compile buckets, e.g. 64,128,200",
+    )
     args = p.parse_args()
 
     from generative_recommenders_tpu.configs.research import RESEARCH_PRESETS
@@ -109,6 +117,12 @@ def main() -> None:
     if args.attn_kernel is not None:
         overrides["model"] = dataclasses.replace(
             cfg.model, attn_kernel=args.attn_kernel
+        )
+    if args.stochastic_length_alpha is not None:
+        overrides["stochastic_length_alpha"] = args.stochastic_length_alpha
+    if args.seq_len_buckets is not None:
+        overrides["seq_len_buckets"] = tuple(
+            int(x) for x in args.seq_len_buckets.split(",")
         )
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)

@@ -30,16 +30,21 @@ class RelativePositionalBias(nn.Module):
     """Pure relative-position toeplitz bias (`hstu.py:66-84`):
     bias[i, j] = w[j - i + N - 1]."""
 
-    max_seq_len: int
+    max_seq_len: int  # table size (model max; runtime N may be bucketed smaller)
 
     @nn.compact
-    def __call__(self, all_timestamps: Optional[jax.Array]) -> jax.Array:
-        N = self.max_seq_len
+    def __call__(
+        self,
+        all_timestamps: Optional[jax.Array],
+        runtime_len: Optional[int] = None,
+    ) -> jax.Array:
+        Nm = self.max_seq_len
+        N = runtime_len or Nm
         w = self.param(
-            "w", nn.initializers.normal(0.02), (2 * N - 1,), jnp.float32
+            "w", nn.initializers.normal(0.02), (2 * Nm - 1,), jnp.float32
         )
         i = jnp.arange(N, dtype=jnp.int32)
-        rel = i[None, :] - i[:, None] + N - 1  # [N, N] in [0, 2N-2]
+        rel = i[None, :] - i[:, None] + Nm - 1  # [N, N] in table range
         return jnp.take(w, rel, axis=0)[None, :, :]  # [1, N, N]
 
 
@@ -50,20 +55,21 @@ class RelativeBucketedTimeAndPositionBasedBias(nn.Module):
     with bucket(x) = clip(floor(log(max(|x|, 1)) / 0.301), 0, num_buckets).
     """
 
-    max_seq_len: int
+    max_seq_len: int  # table size (model max; runtime N may be bucketed smaller)
     num_buckets: int = 128
 
     @nn.compact
     def __call__(self, all_timestamps: jax.Array) -> jax.Array:
-        N = self.max_seq_len
+        N = all_timestamps.shape[1]
+        Nm = self.max_seq_len
         ts_w = self.param(
             "ts_w", nn.initializers.normal(0.02), (self.num_buckets + 1,), jnp.float32
         )
         pos_w = self.param(
-            "pos_w", nn.initializers.normal(0.02), (2 * N - 1,), jnp.float32
+            "pos_w", nn.initializers.normal(0.02), (2 * Nm - 1,), jnp.float32
         )
         i = jnp.arange(N, dtype=jnp.int32)
-        rel = i[None, :] - i[:, None] + N - 1
+        rel = i[None, :] - i[:, None] + Nm - 1
         rel_pos_bias = jnp.take(pos_w, rel, axis=0)[None, :, :]  # [1, N, N]
 
         ts = all_timestamps.astype(jnp.float32)  # [B, N]
@@ -105,6 +111,9 @@ class SequentialTransductionUnit(nn.Module):
     normalization: str = "rel_bias"
     epsilon: float = 1e-6
     attn_kernel: str = "xla"  # "xla" | "pallas"
+    # model-max length for rel-bias table sizing; 0 = runtime N (set it when
+    # seq-len bucketing feeds bucketed (shorter) batches)
+    max_total_seq_len: int = 0
 
     @nn.compact
     def __call__(
@@ -138,16 +147,17 @@ class SequentialTransductionUnit(nn.Module):
         if self.normalization in ("rel_bias", "hstu_rel_bias") and (
             self.enable_relative_attention_bias
         ):
+            tbl_len = self.max_total_seq_len or N
             if all_timestamps is not None:
                 bias = RelativeBucketedTimeAndPositionBasedBias(
-                    max_seq_len=N,
+                    max_seq_len=tbl_len,
                     num_buckets=self.relative_bias_num_buckets,
                     name="rel_attn_bias",
                 )(all_timestamps)
             else:
-                bias = RelativePositionalBias(max_seq_len=N, name="rel_attn_bias")(
-                    None
-                )
+                bias = RelativePositionalBias(
+                    max_seq_len=tbl_len, name="rel_attn_bias"
+                )(None, runtime_len=N)
             bias = jnp.broadcast_to(bias, (B, N, N))
 
         dropout_rng = None
@@ -241,6 +251,7 @@ class HSTUEncoder(nn.Module):
     concat_ua: bool = False
     normalization: str = "rel_bias"
     attn_kernel: str = "xla"
+    max_total_seq_len: int = 0  # rel-bias table sizing under bucketing
     remat: bool = False  # activation recomputation per block
     # (the reference's recompute flags, `modules/stu.py:76-78` /
     # `sampled_softmax.py:170-175` — on TPU one jax.checkpoint per block)
@@ -274,6 +285,7 @@ class HSTUEncoder(nn.Module):
                 enable_relative_attention_bias=self.enable_relative_attention_bias,
                 normalization=self.normalization,
                 attn_kernel=self.attn_kernel,
+                max_total_seq_len=self.max_total_seq_len,
                 name=f"layer_{i}",
             )(x, lengths, all_timestamps, mask, deterministic)
         return x

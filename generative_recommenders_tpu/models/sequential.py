@@ -103,6 +103,7 @@ class SequentialRecommender(nn.Module):
                 enable_relative_attention_bias=cfg.enable_relative_attention_bias,
                 concat_ua=cfg.concat_ua,
                 attn_kernel=cfg.attn_kernel,
+                max_total_seq_len=cfg.total_seq_len,
                 remat=cfg.remat,
             )
         elif cfg.main_module == "SASRec":

@@ -79,6 +79,13 @@ class TrainConfig:
     # e.g. (("mi_loss", 0.001),) for MoL load balancing
     loss_weights: Tuple[Tuple[str, float], ...] = ()
     eval_item_chunk_size: int = 8192  # MoL eval corpus microbatching
+    # stochastic length (`common.py:204-216`): rows longer than N^(alpha/2)
+    # are truncated to that threshold w.p. 1 - N^alpha/n^2. 0 = off.
+    stochastic_length_alpha: float = 0.0
+    # seq-len compile bucketing (`common.py:250-289`): slice each batch to
+    # the smallest bucket covering its longest row; one compile per bucket
+    seq_len_buckets: Tuple[int, ...] = ()
+    runtime_bucketing: bool = False  # next-power-of-2 instead of buckets
 
 
 class ResearchTrainer:
@@ -124,6 +131,10 @@ class ResearchTrainer:
             )
         else:
             raise ValueError(f"Unknown sampling_strategy {cfg.sampling_strategy}")
+        assert not (
+            cfg.stochastic_length_alpha > 0.0
+            and cfg.loss_module == "BCELossWithRatings"
+        ), "SL sampling reads ratings from features; BCELossWithRatings reads the raw batch"
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._encode_step = jax.jit(self._encode_impl)
         self._item_embs = jax.jit(self._item_embs_impl)
@@ -156,10 +167,40 @@ class ResearchTrainer:
         features, target_ids, _ = seq_features_from_row(
             batch, max_output_length=cfg.model.gr_output_length + 1
         )
+        rng_drop, rng_neg = jax.random.split(rng)
+        if cfg.stochastic_length_alpha > 0.0:
+            # SL sampling in the hot path (`common.py:204-216`)
+            from generative_recommenders_tpu.utils.bucketing import (
+                apply_stochastic_length,
+                truncate_to_stochastic_length,
+            )
+
+            rng_drop, rng_sl = jax.random.split(rng_drop)
+            old_len = features.past_lengths
+            new_len = apply_stochastic_length(
+                old_len, cfg.stochastic_length_alpha,
+                cfg.model.max_sequence_len, rng_sl,
+            )
+            features = features._replace(
+                past_lengths=new_len,
+                past_ids=truncate_to_stochastic_length(
+                    features.past_ids, old_len, new_len
+                ),
+                past_payloads={
+                    # the target timestamp sits at position `old_len`; the
+                    # shift relocates it to `new_len` — keep that slot
+                    "timestamps": truncate_to_stochastic_length(
+                        features.past_payloads["timestamps"], old_len,
+                        new_len, extra_positions=1,
+                    ),
+                    "ratings": truncate_to_stochastic_length(
+                        features.past_payloads["ratings"], old_len, new_len
+                    ),
+                },
+            )
         past_ids = scatter_target_into_ids(
             features.past_ids, features.past_lengths, target_ids
         )
-        rng_drop, rng_neg = jax.random.split(rng)
         input_embeddings = apply(
             params, past_ids, method=SequentialRecommender.get_item_embeddings
         )
@@ -291,6 +332,15 @@ class ResearchTrainer:
     def train_step(
         self, params: Any, opt_state: Any, batch: Dict[str, np.ndarray], rng: jax.Array
     ) -> Tuple[Any, Any, jax.Array]:
+        cfg = self.cfg
+        if cfg.seq_len_buckets or cfg.runtime_bucketing:
+            from generative_recommenders_tpu.utils.bucketing import (
+                bucket_batch,
+            )
+
+            batch = bucket_batch(
+                batch, cfg.seq_len_buckets, cfg.runtime_bucketing
+            )
         return self._train_step(params, opt_state, batch, rng)
 
     # -------------------------------------------------------------- eval step
