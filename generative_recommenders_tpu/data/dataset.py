@@ -18,6 +18,9 @@ from __future__ import annotations
 import ast
 import csv
 import dataclasses
+import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -203,8 +206,62 @@ def batch_iterator(
         idxs = order[start : start + batch_size]
         if len(idxs) < batch_size and drop_last:
             break
-        rows = [dataset.get_row(int(i)) for i in idxs]
-        yield {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        yield _build_batch(dataset, idxs)
+
+
+def _build_batch(dataset: SequenceDataset, idxs) -> Dict[str, np.ndarray]:
+    rows = [dataset.get_row(int(i)) for i in idxs]
+    return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+
+
+def prefetched_batch_iterator(
+    dataset: SequenceDataset,
+    batch_size: int,
+    shuffle: bool,
+    seed: int = 0,
+    drop_last: bool = True,
+    num_shards: int = 1,
+    shard_index: int = 0,
+    num_workers: int = 8,
+    prefetch_factor: int = 16,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Threaded, order-preserving batch prefetcher — the DataLoader
+    `num_workers=8, prefetch_factor=128` twin
+    (`research/trainer/data_loader.py:25-57`, SURVEY §7 hard part 6).
+
+    Batches are built concurrently by a thread pool with a bounded
+    in-flight window, so host-side CSV parsing / numpy stacking overlaps
+    the device's step instead of serializing with it.
+    """
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    order = order[shard_index::num_shards]
+    n_full = len(order) // batch_size
+    end = n_full * batch_size if drop_last else len(order)
+    starts = [
+        s
+        for s in range(0, end, batch_size)
+        if not (drop_last and s + batch_size > end)
+    ]
+    if not starts:
+        return
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        window: deque = deque()
+        it = iter(starts)
+        for s in it:
+            window.append(
+                ex.submit(_build_batch, dataset, order[s : s + batch_size])
+            )
+            if len(window) >= prefetch_factor:
+                break
+        for s in it:
+            yield window.popleft().result()
+            window.append(
+                ex.submit(_build_batch, dataset, order[s : s + batch_size])
+            )
+        while window:
+            yield window.popleft().result()
 
 
 class MultiFileSequenceDataset(SequenceDataset):
@@ -235,6 +292,11 @@ class MultiFileSequenceDataset(SequenceDataset):
             counts = [int(row[1]) for row in csv.reader(f)]
         self._cumsum = np.cumsum(counts)
         self._offsets_cache: Dict[int, np.ndarray] = {}
+        self._offsets_lock = threading.Lock()
+        # per-thread open-handle cache: seek+read must not race across the
+        # prefetcher's worker threads, and opening per row is what made the
+        # round-1 loader unable to feed a pod (VERDICT missing #4)
+        self._handles = threading.local()
         self._shift_id_by = shift_id_by
         self._num_items_hint = num_items_hint
         self._max_seq_len = max_sequence_length
@@ -252,16 +314,29 @@ class MultiFileSequenceDataset(SequenceDataset):
             with open(f"{self._file_prefix}_{shard}.csv", "rb") as f:
                 for line in f:
                     offs.append(offs[-1] + len(line))
-            self._offsets_cache[shard] = np.asarray(offs[:-1], dtype=np.int64)
+            arr = np.asarray(offs[:-1], dtype=np.int64)
+            with self._offsets_lock:
+                self._offsets_cache.setdefault(shard, arr)
         return self._offsets_cache[shard]
+
+    def _shard_handle(self, shard: int):
+        cache = getattr(self._handles, "cache", None)
+        if cache is None:
+            cache = self._handles.cache = {}
+        f = cache.get(shard)
+        if f is None:
+            f = cache[shard] = open(
+                f"{self._file_prefix}_{shard}.csv", newline=""
+            )
+        return f
 
     def _read_line(self, idx: int) -> List[str]:
         shard = int(np.searchsorted(self._cumsum, idx, side="right"))
         local = idx - (0 if shard == 0 else int(self._cumsum[shard - 1]))
         offs = self._line_offsets(shard)
-        with open(f"{self._file_prefix}_{shard}.csv", newline="") as f:
-            f.seek(int(offs[local]))
-            return next(csv.reader([f.readline()]))
+        f = self._shard_handle(shard)
+        f.seek(int(offs[local]))
+        return next(csv.reader([f.readline()]))
 
     def get_row(self, idx: int) -> Dict[str, np.ndarray]:
         parts = self._read_line(int(idx))
@@ -296,3 +371,29 @@ class MultiFileSequenceDataset(SequenceDataset):
             "pass num_items_hint for multi-file corpora (full scan avoided)"
         )
         return np.arange(1, self._num_items_hint + 1, dtype=np.int64)
+
+
+def background_prefetch(iterable, size: int = 8):
+    """Runs any batch generator on a background thread with a bounded
+    queue — overlaps host batch assembly with device steps for iterators
+    that aren't index-addressable (e.g. the DLRM dataset `batches()`
+    generators)."""
+    import queue as _queue
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=size)
+    done = object()
+
+    def _worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        finally:
+            q.put(done)
+
+    t = threading.Thread(target=_worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            break
+        yield item

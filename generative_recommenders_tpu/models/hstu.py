@@ -59,7 +59,13 @@ class RelativeBucketedTimeAndPositionBasedBias(nn.Module):
     num_buckets: int = 128
 
     @nn.compact
-    def __call__(self, all_timestamps: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        all_timestamps: jax.Array,
+        row_idx: Optional[jax.Array] = None,  # int[B, M] — delta rows only
+    ) -> jax.Array:
+        """Full [1/B, N, N] bias, or — with ``row_idx`` — just the delta
+        rows [B, M, N] (the KV-cached encode path, `hstu.py:150-223`)."""
         N = all_timestamps.shape[1]
         Nm = self.max_seq_len
         ts_w = self.param(
@@ -69,11 +75,28 @@ class RelativeBucketedTimeAndPositionBasedBias(nn.Module):
             "pos_w", nn.initializers.normal(0.02), (2 * Nm - 1,), jnp.float32
         )
         i = jnp.arange(N, dtype=jnp.int32)
+        ts = all_timestamps.astype(jnp.float32)  # [B, N]
+        ext = jnp.concatenate([ts, ts[:, N - 1 : N]], axis=1)  # [B, N + 1]
+        if row_idx is not None:
+            # toeplitz convention: bias[i, j] = pos_w[j - i + Nm - 1]
+            rel = i[None, None, :] - row_idx[:, :, None] + Nm - 1  # [B, M, N]
+            rel_pos_bias = jnp.take(pos_w, jnp.clip(rel, 0, 2 * Nm - 2), axis=0)
+            row_next = jnp.clip(row_idx + 1, 0, N)
+            dt = (
+                jnp.take_along_axis(ext, row_next, axis=1)[:, :, None]
+                - ts[:, None, :]
+            )  # [B, M, N]
+            bucketed = jnp.clip(
+                jnp.floor(
+                    jnp.log(jnp.maximum(jnp.abs(dt), 1.0)) / 0.301
+                ).astype(jnp.int32),
+                0,
+                self.num_buckets,
+            )
+            return rel_pos_bias + jnp.take(ts_w, bucketed, axis=0)
         rel = i[None, :] - i[:, None] + Nm - 1
         rel_pos_bias = jnp.take(pos_w, rel, axis=0)[None, :, :]  # [1, N, N]
 
-        ts = all_timestamps.astype(jnp.float32)  # [B, N]
-        ext = jnp.concatenate([ts, ts[:, N - 1 : N]], axis=1)  # [B, N + 1]
         dt = ext[:, 1:, None] - ext[:, None, :-1]  # [B, N, N]
         bucketed = jnp.clip(
             jnp.floor(jnp.log(jnp.maximum(jnp.abs(dt), 1.0)) / 0.301).astype(
@@ -118,12 +141,20 @@ class SequentialTransductionUnit(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,  # [B, N, D]
+        x: jax.Array,  # [B, N, D]; delta mode: [B, M, D] (newest M tokens)
         lengths: jax.Array,  # int[B] (used by the pallas kernel for block skip)
-        all_timestamps: Optional[jax.Array],  # int[B, N]
+        all_timestamps: Optional[jax.Array],  # int[B, N] — ALWAYS full-length
         mask: Optional[jax.Array],  # [N, N] or [B, N, N]; None => causal
         deterministic: bool = False,
-    ) -> jax.Array:
+        delta_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+        cache_lengths: Optional[jax.Array] = None,  # int[B] — prefix length
+        return_cache: bool = False,
+    ):
+        """Full forward, or — with ``delta_cache=(k, v)`` — the KV-cached
+        delta path (`hstu.py:147-223` delta_x_offsets): only the M newest
+        tokens are computed, attending over cached K/V extended in place.
+        ``return_cache`` additionally returns this layer's (k, v) state
+        [B, N(+M), H, d]."""
         B, N, D = x.shape
         H, dqk, dv = self.num_heads, self.attention_dim, self.linear_dim
         normed_x = layer_norm(x, eps=self.epsilon)  # non-affine (hstu.py:276-277)
@@ -142,6 +173,11 @@ class SequentialTransductionUnit(nn.Module):
         elif self.linear_activation != "none":
             raise ValueError(f"Unknown linear_activation {self.linear_activation}")
         u, v, q, k = jnp.split(mixed, [dv * H, 2 * dv * H, 2 * dv * H + dqk * H], axis=-1)
+        if delta_cache is not None:
+            return self._delta_attend(
+                x, u, q, k, v, delta_cache, cache_lengths, all_timestamps,
+                deterministic,
+            )
 
         bias = None
         if self.normalization in ("rel_bias", "hstu_rel_bias") and (
@@ -216,6 +252,13 @@ class SequentialTransductionUnit(nn.Module):
             o_input = u * layer_norm(attn, eps=self.epsilon)
 
         o_input = nn.Dropout(self.dropout_ratio)(o_input, deterministic=deterministic)
+        out = self._output_dense(o_input) + x
+        if return_cache:
+            return out, (k.reshape(B, N, H, dqk), v.reshape(B, N, H, dv))
+        return out
+
+    def _output_dense(self, o_input: jax.Array) -> jax.Array:
+        H, dv = self.num_heads, self.linear_dim
         fan_in = dv * H * (3 if self.concat_ua else 1)
         bound = 1.0 / fan_in**0.5
 
@@ -223,13 +266,90 @@ class SequentialTransductionUnit(nn.Module):
             # torch Linear default bias ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in))
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
-        out = nn.Dense(
-            D,
+        return nn.Dense(
+            self.embedding_dim,
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=_torch_linear_bias_init,
             name="o",
         )(o_input)
-        return out + x
+
+    def _delta_attend(
+        self,
+        delta_x: jax.Array,  # [B, M, D]
+        u: jax.Array,  # [B, M, H*dv]
+        q: jax.Array,  # [B, M, H*dqk]
+        delta_k: jax.Array,
+        delta_v: jax.Array,
+        cache: Tuple[jax.Array, jax.Array],  # k/v [B, Nc, H, d]
+        cache_lengths: jax.Array,  # int[B] — valid prefix per row
+        all_timestamps: Optional[jax.Array],  # int[B, Nc + M] full
+        deterministic: bool,
+    ):
+        """KV-cached delta attention (`hstu.py:150-223`): extend the cache by
+        the M delta tokens at positions cache_lengths..cache_lengths+M-1,
+        attend the delta queries over the full K/V, finish the block."""
+        from generative_recommenders_tpu.ops.attention_mask import (
+            make_delta_attn_mask,
+        )
+
+        B, M, D = delta_x.shape
+        H, dqk, dv = self.num_heads, self.attention_dim, self.linear_dim
+        k_cache, v_cache = cache
+        Nc = k_cache.shape[1]
+        Nfull = Nc + M
+        pad = [(0, 0), (0, M), (0, 0), (0, 0)]
+        full_k = jnp.pad(k_cache, pad)
+        full_v = jnp.pad(v_cache, pad)
+        rows_b = jnp.arange(B, dtype=jnp.int32)[:, None]
+        cols = cache_lengths[:, None] + jnp.arange(M, dtype=jnp.int32)[None, :]
+        full_k = full_k.at[rows_b, cols].set(
+            delta_k.reshape(B, M, H, dqk).astype(full_k.dtype)
+        )
+        full_v = full_v.at[rows_b, cols].set(
+            delta_v.reshape(B, M, H, dv).astype(full_v.dtype)
+        )
+        full_lengths = cache_lengths + M
+
+        s = jnp.einsum(
+            "bmhd,bnhd->bhmn",
+            q.reshape(B, M, H, dqk),
+            full_k,
+            preferred_element_type=jnp.float32,
+        )
+        if (
+            self.normalization in ("rel_bias", "hstu_rel_bias")
+            and self.enable_relative_attention_bias
+        ):
+            tbl_len = self.max_total_seq_len or Nfull
+            assert all_timestamps is not None, (
+                "delta path with rel bias needs full timestamps"
+            )
+            bias = RelativeBucketedTimeAndPositionBasedBias(
+                max_seq_len=tbl_len,
+                num_buckets=self.relative_bias_num_buckets,
+                name="rel_attn_bias",
+            )(all_timestamps, row_idx=cols)
+            s = s + bias[:, None, :, :]
+        p = jax.nn.silu(s) / Nfull
+        delta_mask = make_delta_attn_mask(
+            full_k.shape[1], full_lengths, cols, causal=True
+        )
+        p = p * delta_mask[:, None, :, :].astype(p.dtype)
+        attn = jnp.einsum(
+            "bhmn,bnhv->bmhv", p.astype(full_v.dtype), full_v,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, M, H * dv).astype(delta_x.dtype)
+
+        if self.concat_ua:
+            a = layer_norm(attn, eps=self.epsilon)
+            o_input = jnp.concatenate([u, a, u * a], axis=-1)
+        else:
+            o_input = u * layer_norm(attn, eps=self.epsilon)
+        o_input = nn.Dropout(self.dropout_ratio)(
+            o_input, deterministic=deterministic
+        )
+        out = self._output_dense(o_input) + delta_x
+        return out, (full_k, full_v)
 
 
 class HSTUEncoder(nn.Module):
@@ -263,17 +383,24 @@ class HSTUEncoder(nn.Module):
         lengths: jax.Array,
         all_timestamps: Optional[jax.Array],
         deterministic: bool = False,
-    ) -> jax.Array:
+        caches: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
+        cache_lengths: Optional[jax.Array] = None,
+        return_caches: bool = False,
+    ):
+        """Full forward; with ``return_caches`` also returns per-layer (k, v)
+        states; with ``caches`` runs the KV-cached delta path over the M
+        newest tokens (research twin of `hstu.py:284-444` delta_x_offsets)."""
         B, N, D = user_embeddings.shape
-        mask = make_causal_mask(N, dtype=jnp.bool_)
+        mask = make_causal_mask(N, dtype=jnp.bool_) if caches is None else None
         x = user_embeddings
         block_cls = (
             nn.remat(SequentialTransductionUnit, static_argnums=(5,))
-            if self.remat
+            if self.remat and caches is None and not return_caches
             else SequentialTransductionUnit
         )
+        new_caches: List[Tuple[jax.Array, jax.Array]] = []
         for i in range(self.num_blocks):
-            x = block_cls(
+            block = block_cls(
                 embedding_dim=D,
                 linear_dim=self.linear_dim,
                 attention_dim=self.attention_dim,
@@ -287,5 +414,21 @@ class HSTUEncoder(nn.Module):
                 attn_kernel=self.attn_kernel,
                 max_total_seq_len=self.max_total_seq_len,
                 name=f"layer_{i}",
-            )(x, lengths, all_timestamps, mask, deterministic)
+            )
+            if caches is not None:
+                x, cache = block(
+                    x, lengths, all_timestamps, mask, deterministic,
+                    delta_cache=caches[i], cache_lengths=cache_lengths,
+                )
+                new_caches.append(cache)
+            elif return_caches:
+                x, cache = block(
+                    x, lengths, all_timestamps, mask, deterministic,
+                    return_cache=True,
+                )
+                new_caches.append(cache)
+            else:
+                x = block(x, lengths, all_timestamps, mask, deterministic)
+        if caches is not None or return_caches:
+            return x, new_caches
         return x

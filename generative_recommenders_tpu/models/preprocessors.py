@@ -37,6 +37,7 @@ class LearnablePositionalEmbeddingInputFeaturesPreprocessor(nn.Module):
         past_embeddings: jax.Array,  # [B, N, D]
         past_payloads: Dict[str, jax.Array],
         deterministic: bool = False,
+        delta_positions: Optional[jax.Array] = None,  # int[B, M] absolute pos
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         B, N = past_ids.shape
         if self.pos_emb_init == "xavier_normal":
@@ -49,7 +50,17 @@ class LearnablePositionalEmbeddingInputFeaturesPreprocessor(nn.Module):
             "pos_emb", init, (self.max_sequence_len, self.embedding_dim), jnp.float32
         )
         scale = self.embedding_dim**0.5
-        user_embeddings = past_embeddings * scale + pos_emb[None, :N, :]
+        if delta_positions is not None:
+            # KV-cached delta encode: the M new tokens sit at per-row
+            # absolute positions, so gather their position embeddings
+            pos = jnp.take(
+                pos_emb,
+                jnp.clip(delta_positions, 0, self.max_sequence_len - 1),
+                axis=0,
+            )
+            user_embeddings = past_embeddings * scale + pos
+        else:
+            user_embeddings = past_embeddings * scale + pos_emb[None, :N, :]
         user_embeddings = nn.Dropout(self.dropout_rate)(
             user_embeddings, deterministic=deterministic
         )

@@ -211,6 +211,82 @@ class SequentialRecommender(nn.Module):
         )  # [B, N, D]
         return get_current_embeddings(past_lengths, encoded)
 
+    # ------------------------------------------------ KV-cached encode
+    # Research twin of the reference's delta_x_offsets path
+    # (`research/modeling/sequential/hstu.py:147-223,284-444`): encode the
+    # prefix once, then score appended tokens at O(M*N) instead of O(N^2).
+
+    def encode_with_cache(
+        self,
+        past_lengths: jax.Array,
+        past_ids: jax.Array,
+        past_embeddings: jax.Array,
+        past_payloads: Dict[str, jax.Array],
+    ):
+        """Full encode that also returns per-layer KV caches
+        (HSTUCacheState analogue). HSTU-only.
+
+        Contract: with relative time bias enabled, row i's bias reads
+        ts[i+1], so ``past_payloads["timestamps"]`` must carry the next
+        (first delta) timestamp at position ``past_lengths`` — the layout
+        `seq_features_from_row` produces via its target-ts scatter
+        (`features.py:42-44`); otherwise the cached prefix diverges from a
+        full re-encode."""
+        cfg = self.config
+        assert cfg.main_module == "HSTU", "KV-cached encode is HSTU-only"
+        lengths, user_embeddings, _ = self.input_preproc(
+            past_lengths, past_ids, past_embeddings, past_payloads,
+            deterministic=True,
+        )
+        if cfg.compute_dtype == "bfloat16":
+            user_embeddings = user_embeddings.astype(jnp.bfloat16)
+        timestamps = (
+            past_payloads.get("timestamps")
+            if cfg.enable_relative_attention_bias
+            else None
+        )
+        encoded, caches = self.encoder(
+            user_embeddings, lengths, timestamps,
+            deterministic=True, return_caches=True,
+        )
+        out = self.output_postproc(encoded.astype(jnp.float32))
+        return get_current_embeddings(past_lengths, out), caches
+
+    def encode_delta(
+        self,
+        cache_lengths: jax.Array,  # int[B] — prefix length per row
+        delta_ids: jax.Array,  # int[B, M] — the M appended tokens
+        delta_embeddings: jax.Array,  # [B, M, D]
+        full_payloads: Dict[str, jax.Array],  # timestamps over prefix+delta
+        caches,
+    ):
+        """Encode only the M appended tokens against the cached prefix.
+        Returns (current embedding [B, D] after the append, new caches)."""
+        cfg = self.config
+        assert cfg.main_module == "HSTU", "KV-cached encode is HSTU-only"
+        B, M = delta_ids.shape
+        positions = (
+            cache_lengths[:, None]
+            + jnp.arange(M, dtype=jnp.int32)[None, :]
+        )
+        _, delta_emb, _ = self.input_preproc(
+            cache_lengths, delta_ids, delta_embeddings, full_payloads,
+            deterministic=True, delta_positions=positions,
+        )
+        if cfg.compute_dtype == "bfloat16":
+            delta_emb = delta_emb.astype(jnp.bfloat16)
+        timestamps = (
+            full_payloads.get("timestamps")
+            if cfg.enable_relative_attention_bias
+            else None
+        )
+        encoded, new_caches = self.encoder(
+            delta_emb, cache_lengths + M, timestamps,
+            deterministic=True, caches=caches, cache_lengths=cache_lengths,
+        )
+        out = self.output_postproc(encoded.astype(jnp.float32))
+        return out[:, -1, :], new_caches
+
     def similarity_fn(
         self,
         query_embeddings: jax.Array,  # [B, D]

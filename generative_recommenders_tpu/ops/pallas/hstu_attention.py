@@ -104,6 +104,223 @@ def _dsilu(x: jax.Array) -> jax.Array:
     return s * (1.0 + x * (1.0 - s))
 
 
+def _block_interior(
+    row0: jax.Array,
+    col0: jax.Array,
+    bq: int,
+    bk: int,
+    length: jax.Array,
+    num_targets: jax.Array,
+    causal: bool,
+    max_attn_len: int,
+    contextual_seq_len: int,
+) -> jax.Array:
+    """scalar bool — True iff every (row, col) pair in this tile is valid
+    under `_block_mask`, so the mask construction (iotas + compares +
+    select, the VPU-bound part of the kernel at small head dims) can be
+    skipped and p = silu(s)/n used directly.
+
+    Sufficient conditions (conservative):
+      * strictly-below-diagonal tile: col0 + bk <= row0 (causal dist > 0
+        everywhere; target-row capping keeps dist > 0 because capped rows
+        >= max_ids > col for col < max_ids),
+      * every column uncapped and in-range: col0 + bk <= length - num_targets,
+      * every row in-range: row0 + bq <= length,
+      * local window covers the whole tile when enabled,
+      * no contextual rows (contextual shifts row/col indices — keep the
+        masked path).
+    """
+    if not causal or contextual_seq_len > 0:
+        return jnp.bool_(False)
+    max_ids = length - num_targets
+    ok = jnp.logical_and(col0 + bk <= row0, row0 + bq <= length)
+    ok = jnp.logical_and(ok, col0 + bk <= max_ids)
+    if max_attn_len > 0:
+        ok = jnp.logical_and(ok, row0 + bq - 1 - col0 <= max_attn_len)
+    return ok
+
+
+# ============================================= forward (resident-KV) =======
+#
+# Grid (B, n_q) with the whole K/V row resident in VMEM (index constant per
+# b, so the pipeline DMAs K/V once per row) and an in-kernel fori_loop with
+# a DYNAMIC bound over KV chunks: dead chunks — beyond the row's length or
+# above the causal diagonal — cost nothing at all, not even a grid step.
+# This is what makes compute O(sum_i N_i^2) in wall-clock, not just in DMA:
+# the 3-D-grid variant below still sequences (b, iq, j) steps for dead
+# blocks (~1 us fixed cost each), which dominates at realistic jagged
+# length distributions. Used whenever K+V fit the VMEM budget.
+
+
+def _fwd_kernel_rkv(
+    lengths_ref,  # int32[B] (scalar prefetch)
+    num_targets_ref,  # int32[B]
+    q_ref,  # [1, H, BQ, D]
+    k_ref,  # [1, H, N, D]  (full row resident)
+    v_ref,  # [1, H, N, V]
+    *rest,
+    bq: int,
+    bk: int,
+    alpha: float,
+    inv_norm: float,
+    causal: bool,
+    max_attn_len: int,
+    contextual_seq_len: int,
+    min_full_attn_seq_len: int,
+    has_bias: bool,
+):
+    if has_bias:
+        bias_ref, o_ref, acc_ref = rest
+    else:
+        (o_ref, acc_ref) = rest
+        bias_ref = None
+    b, iq = pl.program_id(0), pl.program_id(1)
+    H = q_ref.shape[1]
+    length = lengths_ref[b]
+    num_targets = num_targets_ref[b]
+    row0 = iq * bq
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    kv_limit = length
+    if causal and contextual_seq_len == 0:
+        kv_limit = jnp.minimum(kv_limit, row0 + bq)
+
+    @pl.when(row0 < length)
+    def _compute():
+        n_live = pl.cdiv(kv_limit, bk)
+
+        def body(j, carry):
+            col0 = j * bk
+            mask = _block_mask(
+                row0, col0, bq, bk, length, num_targets, causal,
+                max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+            )
+            if bias_ref is not None:
+                bias = bias_ref[0, :, pl.ds(col0, bk)].astype(jnp.float32)
+            else:
+                bias = None
+            for h in range(H):
+                kb = k_ref[0, h, pl.ds(col0, bk)]
+                vb = v_ref[0, h, pl.ds(col0, bk)]
+                s = jax.lax.dot_general(
+                    q_ref[0, h], kb,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * alpha
+                if bias is not None:
+                    s = s + bias
+                p = jnp.where(mask, _silu(s) * inv_norm, 0.0)
+                acc_ref[h] += jax.lax.dot_general(
+                    p.astype(vb.dtype), vb,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return carry
+
+        jax.lax.fori_loop(0, n_live, body, 0, unroll=False)
+
+    o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _bwd_fused_kernel_rkv(
+    lengths_ref, num_targets_ref,
+    q_ref, k_ref, v_ref, do_ref,  # k/v tiles at j; q/do full rows resident
+    dq_ref, dk_ref, dv_ref,
+    dq_acc, dk_acc, dv_acc,
+    *, bq, bk, n_kv, alpha, inv_norm, causal,
+    max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+):
+    """One fused backward pass: grid (B, n_kv); for each kv tile j the inner
+    dynamic loop walks the live q blocks, recomputing S/sigmoid ONCE and
+    producing dk_j, dv_j AND the q-blocks' dq contributions (accumulated in
+    a full-row VMEM scratch, flushed at the last kv step). Vs separate
+    dq/dkv kernels this drops the matmul work from 7 to 5 S-sized products
+    per (i, j) pair and one full HBM pass over q/k/v/do."""
+    b, j = pl.program_id(0), pl.program_id(1)
+    H = k_ref.shape[1]
+    length = lengths_ref[b]
+    num_targets = num_targets_ref[b]
+    col0 = j * bk
+
+    @pl.when(j == 0)
+    def _init_dq():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(col0 < length)
+    def _compute():
+        if causal and contextual_seq_len == 0:
+            i_first = col0 // bq
+        else:
+            i_first = 0
+        n_q_live = pl.cdiv(length, bq)
+
+        def body(i, carry):
+            row0 = i * bq
+            mask = _block_mask(
+                row0, col0, bq, bk, length, num_targets, causal,
+                max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+            )
+            for h in range(H):
+                qb = q_ref[0, h, pl.ds(row0, bq)]
+                dob = do_ref[0, h, pl.ds(row0, bq)]
+                s = jax.lax.dot_general(
+                    qb, k_ref[0, h], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * alpha
+                sig = jax.nn.sigmoid(s)  # shared by p and dsilu
+                p = jnp.where(mask, s * sig * inv_norm, 0.0)
+                dv_acc[h] += jax.lax.dot_general(
+                    p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dp = jax.lax.dot_general(
+                    dob, v_ref[0, h], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dsilu = sig * (1.0 + s * (1.0 - sig))
+                ds = jnp.where(mask, dp * inv_norm * dsilu, 0.0)
+                ds16 = ds.astype(qb.dtype)
+                dk_acc[h] += alpha * jax.lax.dot_general(
+                    ds16, qb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dq_acc[h, pl.ds(row0, bq)] += alpha * jax.lax.dot_general(
+                    ds16, k_ref[0, h], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return carry
+
+        jax.lax.fori_loop(i_first, n_q_live, body, 0, unroll=False)
+
+    dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+    @pl.when(j == n_kv - 1)
+    def _write_dq():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+# VMEM budgets for keeping full rows resident per grid step (double-buffered
+# by the pipeline; leave headroom for tiles + accumulators). The backward
+# additionally keeps an f32 dq accumulator for the whole row, so its
+# footprint is K/V-resident + H*N*D*4 — hence the separate check.
+_RESIDENT_BYTES_LIMIT = 4 * 1024 * 1024
+
+
+def _use_resident(H: int, N: int, D: int, V: int, itemsize: int) -> bool:
+    return H * N * (D + V) * itemsize <= _RESIDENT_BYTES_LIMIT
+
+
+def _use_resident_bwd(H: int, N: int, D: int, V: int, itemsize: int) -> bool:
+    return (
+        H * N * ((D + V) * itemsize + D * 4) <= _RESIDENT_BYTES_LIMIT + 1
+    )
+
+
 # =============================================================== forward ====
 
 
@@ -218,6 +435,43 @@ def _hstu_mha_fwd(
     V = v.shape[-1]
     bq, bk = min(block_q, N), min(block_k, N)
     n_q, n_kv = _cdiv(N, bq), _cdiv(N, bk)
+    if _use_resident(H, N, D, V, q.dtype.itemsize):
+        in_specs = [
+            pl.BlockSpec((1, H, bq, D), lambda b, iq, L, T: (b, 0, iq, 0)),
+            pl.BlockSpec((1, H, N, D), lambda b, iq, L, T: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, N, V), lambda b, iq, L, T: (b, 0, 0, 0)),
+        ]
+        inputs = [q, k, v]
+        if bias is not None:
+            in_specs.append(
+                pl.BlockSpec((1, bq, N), lambda b, iq, L, T: (b, iq, 0))
+            )
+            inputs.append(bias)
+        kernel = functools.partial(
+            _fwd_kernel_rkv,
+            bq=bq, bk=bk, alpha=alpha, inv_norm=1.0 / max_seq_len,
+            causal=causal, max_attn_len=max_attn_len,
+            contextual_seq_len=contextual_seq_len,
+            min_full_attn_seq_len=min_full_attn_seq_len,
+            has_bias=bias is not None,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, n_q),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (1, H, bq, V), lambda b, iq, L, T: (b, 0, iq, 0)
+                ),
+                scratch_shapes=[pltpu.VMEM((H, bq, V), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, H, N, V), v.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(lengths.astype(jnp.int32), num_targets.astype(jnp.int32), *inputs)
     kv_idx = functools.partial(
         _clamped_kv_index, bq=bq, bk=bk, causal=causal,
         contextual=contextual_seq_len,
@@ -407,6 +661,42 @@ def _hstu_mha_bwd(
         max_attn_len=max_attn_len, contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len,
     )
+    if _use_resident_bwd(H, N, D, V, q.dtype.itemsize):
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_fused_kernel_rkv, bq=bq, bk=bk, n_kv=n_kv, **common
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, n_kv),
+                in_specs=[
+                    pl.BlockSpec((1, H, N, D), lambda b, j, L, T: (b, 0, 0, 0)),
+                    pl.BlockSpec((1, H, bk, D), lambda b, j, L, T: (b, 0, j, 0)),
+                    pl.BlockSpec((1, H, bk, V), lambda b, j, L, T: (b, 0, j, 0)),
+                    pl.BlockSpec((1, H, N, V), lambda b, j, L, T: (b, 0, 0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, H, N, D), lambda b, j, L, T: (b, 0, 0, 0)),
+                    pl.BlockSpec((1, H, bk, D), lambda b, j, L, T: (b, 0, j, 0)),
+                    pl.BlockSpec((1, H, bk, V), lambda b, j, L, T: (b, 0, j, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((H, N, D), jnp.float32),
+                    pltpu.VMEM((H, bk, D), jnp.float32),
+                    pltpu.VMEM((H, bk, V), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+                jax.ShapeDtypeStruct((B, H, N, D), k.dtype),
+                jax.ShapeDtypeStruct((B, H, N, V), v.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(lengths.astype(jnp.int32), num_targets.astype(jnp.int32), q, k, v, do)
+        return dq, dk, dv
     kv_idx = functools.partial(
         _clamped_kv_index, bq=bq, bk=bk, causal=causal,
         contextual=contextual_seq_len,

@@ -195,7 +195,9 @@ def train_loop(
     t0 = time.time()
     n_examples = 0
     step = 0
-    for step, raw in enumerate(batches):
+    from generative_recommenders_tpu.data.dataset import background_prefetch
+
+    for step, raw in enumerate(background_prefetch(batches, size=8)):
         batch = _to_device(raw)
         if params is None:
             params, opt_state = trainer.init_sharded(rng, batch)

@@ -86,6 +86,10 @@ class TrainConfig:
     # the smallest bucket covering its longest row; one compile per bucket
     seq_len_buckets: Tuple[int, ...] = ()
     runtime_bucketing: bool = False  # next-power-of-2 instead of buckets
+    # host data pipeline (DataLoader num_workers/prefetch_factor twin,
+    # `research/trainer/data_loader.py:25-57`); 0 = synchronous
+    num_workers: int = 4
+    prefetch_factor: int = 16
 
 
 class ResearchTrainer:
@@ -459,14 +463,27 @@ def train_loop(
     params = trainer.init_params(init_rng)
     opt_state = trainer.init_opt_state(params)
 
+    from generative_recommenders_tpu.data.dataset import (
+        prefetched_batch_iterator,
+    )
+
     batch_id = 0
     history = []
     t0 = time.time()
     for epoch in range(cfg.num_epochs):
-        for batch in batch_iterator(
-            train_dataset, cfg.local_batch_size, shuffle=True,
-            seed=cfg.random_seed + epoch,
-        ):
+        if cfg.num_workers > 0:
+            epoch_batches = prefetched_batch_iterator(
+                train_dataset, cfg.local_batch_size, shuffle=True,
+                seed=cfg.random_seed + epoch,
+                num_workers=cfg.num_workers,
+                prefetch_factor=cfg.prefetch_factor,
+            )
+        else:
+            epoch_batches = batch_iterator(
+                train_dataset, cfg.local_batch_size, shuffle=True,
+                seed=cfg.random_seed + epoch,
+            )
+        for batch in epoch_batches:
             step_rng = jax.random.fold_in(rng, batch_id)
             params, opt_state, loss = trainer.train_step(
                 params, opt_state, batch, step_rng

@@ -97,3 +97,74 @@ def test_fractal_expansion_and_multifile_dataset(tmp_path):
     assert batch["historical_ids"].shape == (4, 8)
     assert (batch["target_ids"] >= 1).all()
     assert (batch["target_ids"] <= 2 * I).all()
+
+
+def test_prefetched_batch_iterator_matches_sync():
+    """Threaded prefetcher must yield identical batches in identical order."""
+    from generative_recommenders_tpu.data.dataset import (
+        SequenceDataset,
+        batch_iterator,
+        prefetched_batch_iterator,
+        synthetic_user_sequences,
+    )
+
+    seqs = synthetic_user_sequences(num_users=40, num_items=30, max_len=12, seed=3)
+    ds = SequenceDataset(seqs, max_sequence_length=12, ignore_last_n=1)
+    sync = list(batch_iterator(ds, 8, shuffle=True, seed=11))
+    pre = list(
+        prefetched_batch_iterator(
+            ds, 8, shuffle=True, seed=11, num_workers=4, prefetch_factor=3
+        )
+    )
+    assert len(sync) == len(pre) > 0
+    for a, b in zip(sync, pre):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_background_prefetch_passthrough():
+    from generative_recommenders_tpu.data.dataset import background_prefetch
+
+    items = [{"x": np.full((2,), i)} for i in range(17)]
+    out = list(background_prefetch(iter(items), size=4))
+    assert len(out) == 17
+    for a, b in zip(items, out):
+        np.testing.assert_array_equal(a["x"], b["x"])
+
+
+def test_multifile_prefetch_threads(tmp_path):
+    """MultiFile loader: thread-local handles, no per-row open; prefetcher
+    over it returns the same rows as the sync path."""
+    from generative_recommenders_tpu.data.dataset import (
+        MultiFileSequenceDataset,
+        batch_iterator,
+        prefetched_batch_iterator,
+    )
+
+    prefix = str(tmp_path / "frac")
+    rows_per_shard = [6, 5]
+    rng = np.random.default_rng(0)
+    with open(f"{prefix}_users.csv", "w") as f:
+        for i, c in enumerate(rows_per_shard):
+            f.write(f"{i},{c}\n")
+    uid = 0
+    for i, c in enumerate(rows_per_shard):
+        with open(f"{prefix}_{i}.csv", "w") as f:
+            for _ in range(c):
+                n = int(rng.integers(3, 9))
+                items = ",".join(str(x) for x in rng.integers(1, 40, n))
+                rts = ",".join(str(x) for x in rng.integers(1, 6, n))
+                f.write(f'{uid},"{items}","{rts}"\n')
+                uid += 1
+    ds = MultiFileSequenceDataset(
+        prefix, max_sequence_length=8, ignore_last_n=0, num_items_hint=40
+    )
+    assert len(ds) == 11
+    sync = list(batch_iterator(ds, 4, shuffle=False))
+    pre = list(
+        prefetched_batch_iterator(ds, 4, shuffle=False, num_workers=3)
+    )
+    for a, b in zip(sync, pre):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

