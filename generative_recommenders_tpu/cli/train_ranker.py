@@ -44,7 +44,23 @@ def main() -> None:
     p.add_argument("--attn_kernel", default=None, choices=["xla", "pallas"])
     p.add_argument("--stochastic_depth", type=float, default=0.0)
     p.add_argument("--l2_max_len", type=int, default=0)
+    # multi-host bootstrap (`dlrm_v3/train/utils.py:72-93` analogue)
+    p.add_argument("--distributed", action="store_true")
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args()
+
+    if args.distributed:
+        from generative_recommenders_tpu.parallel.distributed import (
+            initialize_distributed,
+        )
+
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from generative_recommenders_tpu.configs.dlrm import (
         get_embedding_table_config,

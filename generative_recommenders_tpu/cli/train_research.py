@@ -88,7 +88,25 @@ def main() -> None:
         "--seq_len_buckets", default=None,
         help="comma-separated compile buckets, e.g. 64,128,200",
     )
+    # multi-host bootstrap (MASTER_ADDR/WORLD_SIZE analogues,
+    # `research/trainer/train.py:73-79`); on Cloud TPU pods pass only
+    # --distributed and the rest is inferred from the environment
+    p.add_argument("--distributed", action="store_true")
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args()
+
+    if args.distributed:
+        from generative_recommenders_tpu.parallel.distributed import (
+            initialize_distributed,
+        )
+
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from generative_recommenders_tpu.configs.research import RESEARCH_PRESETS
 
@@ -147,7 +165,14 @@ def main() -> None:
         len(train_ds), cfg.model.num_items, jax.devices(),
     )
     t0 = time.time()
-    out = train_loop(cfg, train_ds, eval_ds)
+    if jax.process_count() > 1:
+        from generative_recommenders_tpu.parallel.train import (
+            distributed_train_loop,
+        )
+
+        out = distributed_train_loop(cfg, train_ds, eval_ds)
+    else:
+        out = train_loop(cfg, train_ds, eval_ds)
     logger.info("training done in %.1fs", time.time() - t0)
     if args.ckpt_dir:
         path = save_checkpoint(

@@ -193,12 +193,25 @@ def batch_iterator(
     drop_last: bool = True,
     num_shards: int = 1,
     shard_index: int = 0,
+    shard_contiguous: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields stacked numpy batches; shards rows round-robin across hosts
-    (DistributedSampler twin, `research/trainer/data_loader.py:25-57`)."""
+    (DistributedSampler twin, `research/trainer/data_loader.py:25-57`).
+    ``shard_contiguous`` slices PER-BATCH contiguous blocks instead —
+    multi-host global batches then reproduce the single-host logical batch
+    exactly (host h takes rows [h*B/n, (h+1)*B/n) of every global batch)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
+    if shard_contiguous and num_shards > 1:
+        local = batch_size
+        global_bs = batch_size * num_shards
+        n_batches = len(order) // global_bs
+        for gb in range(n_batches):
+            start = gb * global_bs + shard_index * local
+            idxs = order[start : start + local]
+            yield _build_batch(dataset, idxs)
+        return
     order = order[shard_index::num_shards]
     n_full = len(order) // batch_size
     end = n_full * batch_size if drop_last else len(order)
@@ -397,3 +410,47 @@ def background_prefetch(iterable, size: int = 8):
         if item is done:
             break
         yield item
+
+
+def synthetic_user_sequences_vectorized(
+    num_users: int,
+    num_items: int,
+    max_len: int = 60,
+    min_len: int = 5,
+    latent_dim: int = 16,
+    seed: int = 0,
+) -> UserSequences:
+    """Vectorized twin of `synthetic_user_sequences` for corpus-scale
+    generation (ML-20M-shaped parity runs): all users advance one step per
+    iteration (Gumbel-max sampling over a 64-item candidate pool), so
+    generation is O(max_len) numpy passes instead of O(total events) python
+    steps. Same latent-factor sequential structure."""
+    rng = np.random.default_rng(seed)
+    z = rng.standard_normal((num_items + 1, latent_dim)).astype(np.float32)
+    z[0] = 0.0
+    U = num_users
+    lengths = rng.integers(min_len, max_len + 1, size=U)
+    uvec = rng.standard_normal((U, latent_dim)).astype(np.float32)
+    prev = np.zeros((U, latent_dim), np.float32)
+    seq = np.zeros((U, max_len), np.int64)
+    for i in range(max_len):
+        active = lengths > i
+        cands = rng.integers(1, num_items + 1, size=(U, 64))
+        logits = np.einsum("ucl,ul->uc", z[cands], uvec + 0.5 * prev)
+        gumbel = -np.log(-np.log(rng.random((U, 64)) + 1e-12) + 1e-12)
+        pick = cands[np.arange(U), np.argmax(logits + gumbel, axis=1)]
+        seq[:, i] = np.where(active, pick, 0)
+        prev = np.where(active[:, None], z[pick], prev)
+    items, ratings, ts = [], [], []
+    base = rng.integers(1_000_000_000, 1_100_000_000, size=U)
+    for u in range(U):
+        n = int(lengths[u])
+        items.append(seq[u, :n].copy())
+        ratings.append(rng.integers(1, 6, size=n).astype(np.int64))
+        ts.append(base[u] + np.cumsum(rng.integers(60, 86400, size=n)).astype(np.int64))
+    return UserSequences(
+        user_ids=np.arange(1, U + 1, dtype=np.int64),
+        item_ids=items,
+        ratings=ratings,
+        timestamps=ts,
+    )

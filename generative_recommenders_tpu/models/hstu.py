@@ -111,10 +111,17 @@ class RelativeBucketedTimeAndPositionBasedBias(nn.Module):
         # ~40x slower than the fused compare+select reduction (44ms vs
         # 1.4ms at B128/N211 on v5e), and its scatter-add transpose is
         # similarly bad; this formulation also autodiffs to the fast form.
-        iota = jnp.arange(self.num_buckets + 1, dtype=jnp.int32)
-        rel_ts_bias = jnp.sum(
-            jnp.where(bucketed[..., None] == iota, ts_w, 0.0), axis=-1
-        )  # [B, N, N]
+        # (GR_TPU_BIAS_GATHER=take switches to the plain gather for the
+        # numerics-ablation harness, benchmarks/parity_quality.py.)
+        import os
+
+        if os.environ.get("GR_TPU_BIAS_GATHER") == "take":
+            rel_ts_bias = jnp.take(ts_w, bucketed, axis=0)
+        else:
+            iota = jnp.arange(self.num_buckets + 1, dtype=jnp.int32)
+            rel_ts_bias = jnp.sum(
+                jnp.where(bucketed[..., None] == iota, ts_w, 0.0), axis=-1
+            )  # [B, N, N]
         return rel_pos_bias + rel_ts_bias
 
 

@@ -26,7 +26,14 @@ def initialize_distributed(
     """Idempotent multi-host init. On Cloud TPU the arguments are inferred
     from the environment; elsewhere pass them explicitly (the reference's
     MASTER_ADDR/MASTER_PORT/WORLD_SIZE analogues)."""
-    if jax.process_count() > 1 or os.environ.get("JAX_DIST_INITIALIZED"):
+    # do NOT call jax.process_count() here — it initializes the backend,
+    # after which jax.distributed.initialize is impossible
+    from jax._src import distributed as _dist
+
+    if (
+        getattr(_dist.global_state, "client", None) is not None
+        or os.environ.get("JAX_DIST_INITIALIZED")
+    ):
         return
     try:
         jax.distributed.initialize(

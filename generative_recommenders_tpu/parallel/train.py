@@ -82,6 +82,20 @@ class DistributedTrainer(ResearchTrainer):
             )
         return self._sharded_train_step(params, opt_state, batch, rng)
 
+    def to_global_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Multi-host: assembles each host's local rows into global arrays
+        laid out by `batch_shardings` (`jax.make_array_from_process_local_
+        data`). Single-process: pass-through. Hosts must feed contiguous
+        row shards (`batch_iterator(..., shard_contiguous=True)`) so the
+        logical global batch is the single-host one."""
+        if jax.process_count() == 1:
+            return batch
+        sh = batch_shardings(self.mesh, batch)
+        return {
+            k: jax.make_array_from_process_local_data(sh[k], np.asarray(v))
+            for k, v in batch.items()
+        }
+
     def encode_step(
         self, params: Any, batch: Dict[str, np.ndarray], item_embs: jax.Array
     ):
@@ -97,3 +111,94 @@ class DistributedTrainer(ResearchTrainer):
                 out_shardings=(rep, rep),
             )
         return self._sharded_encode(params, batch, item_embs)
+
+
+def distributed_train_loop(
+    cfg: TrainConfig,
+    train_dataset,
+    eval_dataset,
+    mesh: Optional[Mesh] = None,
+    log_every: int = 100,
+    max_steps: Optional[int] = None,
+):
+    """Multi-host research training driver: each host feeds its contiguous
+    row shard of every global batch; steps run pjit-sharded over the global
+    mesh; eval metrics are averaged across hosts (the DDP + DistributedSampler
+    + all_reduce loop of `research/trainer/train.py:306-521`, host-parallel).
+    """
+    import logging
+    import time
+
+    import jax.numpy as jnp
+
+    from generative_recommenders_tpu.data.dataset import batch_iterator
+    from generative_recommenders_tpu.parallel.distributed import (
+        host_batch_shard,
+    )
+    from generative_recommenders_tpu.parallel.mesh import make_mesh
+    from generative_recommenders_tpu.train.eval_metrics import (
+        MetricsAccumulator,
+        metrics_from_ranks,
+    )
+
+    logger = logging.getLogger(__name__)
+    mesh = mesh or make_mesh()
+    trainer = DistributedTrainer(cfg, train_dataset.all_item_ids(), mesh)
+    rng = jax.random.PRNGKey(cfg.random_seed)
+    rng, init_rng = jax.random.split(rng)
+    params, opt_state = trainer.init_sharded(init_rng)
+    num_shards, shard_index = host_batch_shard()
+    assert cfg.local_batch_size % num_shards == 0
+    local_bs = cfg.local_batch_size // num_shards
+
+    batch_id = 0
+    history = []
+    t0 = time.time()
+    for epoch in range(cfg.num_epochs):
+        for batch in batch_iterator(
+            train_dataset, local_bs, shuffle=True,
+            seed=cfg.random_seed + epoch,
+            num_shards=num_shards, shard_index=shard_index,
+            shard_contiguous=True,
+        ):
+            params, opt_state, loss = trainer.train_step(
+                params, opt_state, trainer.to_global_batch(batch),
+                jax.random.fold_in(rng, batch_id),
+            )
+            if batch_id % log_every == 0 and jax.process_index() == 0:
+                logger.info(
+                    "step %d (epoch %d, %.1fs): loss %.6f",
+                    batch_id, epoch, time.time() - t0, float(loss),
+                )
+            batch_id += 1
+            if max_steps is not None and batch_id >= max_steps:
+                break
+        # host-sharded eval, metrics averaged across hosts
+        item_embs = trainer._item_embs(params)
+        acc = MetricsAccumulator()
+        for i, ebatch in enumerate(
+            batch_iterator(
+                eval_dataset, local_bs, shuffle=True,
+                seed=cfg.random_seed + epoch,
+                num_shards=num_shards, shard_index=shard_index,
+                shard_contiguous=True,
+            )
+        ):
+            ranks, ratings = trainer.encode_step(
+                params, trainer.to_global_batch(ebatch), item_embs
+            )
+            acc.update(metrics_from_ranks(ranks, ratings))
+            if i + 1 >= cfg.partial_eval_num_iters:
+                break
+        metrics = acc.compute()
+        metrics["epoch"] = epoch
+        history.append(metrics)
+        if jax.process_index() == 0:
+            logger.info(
+                "eval epoch %d: HR@10 %.4f NDCG@10 %.4f",
+                epoch, metrics.get("hr@10", float("nan")),
+                metrics.get("ndcg@10", float("nan")),
+            )
+        if max_steps is not None and batch_id >= max_steps:
+            break
+    return {"params": params, "opt_state": opt_state, "history": history}

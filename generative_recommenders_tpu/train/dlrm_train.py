@@ -178,6 +178,29 @@ def _to_device(batch: Tuple) -> Tuple:
     )
 
 
+def _to_global(trainer: "DlrmTrainer", batch: Tuple) -> Tuple:
+    """Multi-host: per-host local rows → global sharded arrays (each host
+    feeds 1/process_count of the global batch; see
+    `parallel/train.py:to_global_batch`)."""
+    if jax.process_count() == 1:
+        return batch
+    from generative_recommenders_tpu.parallel.sharding import batch_shardings
+
+    sh = batch_shardings(trainer.mesh, batch)
+
+    def mk(s, v):
+        return jax.make_array_from_process_local_data(s, np.asarray(v))
+
+    uih, ul, cands, nc = batch
+    shu, shl, shc, shn = sh
+    return (
+        {k: mk(shu[k], v) for k, v in uih.items()},
+        mk(shl, ul),
+        {k: mk(shc[k], v) for k, v in cands.items()},
+        mk(shn, nc),
+    )
+
+
 def train_loop(
     trainer: DlrmTrainer,
     batches: Iterator[Tuple],
@@ -198,7 +221,11 @@ def train_loop(
     from generative_recommenders_tpu.data.dataset import background_prefetch
 
     for step, raw in enumerate(background_prefetch(batches, size=8)):
-        batch = _to_device(raw)
+        batch = (
+            _to_global(trainer, raw)
+            if jax.process_count() > 1
+            else _to_device(raw)
+        )
         if params is None:
             params, opt_state = trainer.init_sharded(rng, batch)
             if cfg.ckpt_dir and latest_step(cfg.ckpt_dir) is not None:
