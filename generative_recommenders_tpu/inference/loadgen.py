@@ -32,6 +32,7 @@ class Scenario(enum.IntEnum):
     OFFLINE = 0
     SERVER = 1
     SINGLE_STREAM = 2
+    MULTI_STREAM = 3
 
 
 class _CSettings(ctypes.Structure):
@@ -41,6 +42,9 @@ class _CSettings(ctypes.Structure):
         ("min_query_count", ctypes.c_int64),
         ("min_duration_ms", ctypes.c_int64),
         ("seed", ctypes.c_int64),
+        ("target_latency_ns", ctypes.c_int64),
+        ("target_percentile", ctypes.c_double),
+        ("enable_early_stopping", ctypes.c_int32),
     ]
 
 
@@ -51,6 +55,13 @@ class TestSettings:
     min_query_count: int = 64
     min_duration_ms: int = 0
     seed: int = 0
+    # latency constraint + early stopping (`loadgen/early_stopping.cc`):
+    # MLPerf percentiles are p90 SingleStream, p99 MultiStream/Server
+    target_latency_ms: float = 0.0  # 0 = unconstrained
+    target_percentile: float = 0.9
+    enable_early_stopping: bool = True
+    # MultiStream: samples per query (the SUT batches this many per issue)
+    samples_per_query: int = 8
 
 
 _ISSUE_CB_T = ctypes.CFUNCTYPE(None, ctypes.c_int64)
@@ -85,6 +96,12 @@ def _load() -> ctypes.CDLL:
         lib.lg_achieved_qps.restype = ctypes.c_double
         lib.lg_latency_ns.argtypes = [ctypes.c_double]
         lib.lg_latency_ns.restype = ctypes.c_int64
+        lib.lg_early_stopped.restype = ctypes.c_int32
+        lib.lg_latency_bound_ok.restype = ctypes.c_int32
+        lib.lg_min_queries_for_early_stop.argtypes = [
+            ctypes.c_int64, ctypes.c_double,
+        ]
+        lib.lg_min_queries_for_early_stop.restype = ctypes.c_int64
         _lib = lib
     return _lib
 
@@ -106,6 +123,9 @@ def start_test(
         min_query_count=int(settings.min_query_count),
         min_duration_ms=int(settings.min_duration_ms),
         seed=int(settings.seed),
+        target_latency_ns=int(settings.target_latency_ms * 1e6),
+        target_percentile=float(settings.target_percentile),
+        enable_early_stopping=int(settings.enable_early_stopping),
     )
     lib.lg_start_test(c_settings, cb)
     result = {
@@ -115,4 +135,6 @@ def start_test(
     for p in (50.0, 80.0, 90.0, 95.0, 99.0, 99.9):
         ns = lib.lg_latency_ns(ctypes.c_double(p))
         result[f"p{p:g}_ms"] = ns / 1e6 if ns >= 0 else float("nan")
+    result["early_stopped"] = float(lib.lg_early_stopped())
+    result["latency_bound_ok"] = float(lib.lg_latency_bound_ok())
     return result

@@ -24,11 +24,37 @@ def main() -> None:
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+    # persist compiled executables so the long serving shapes (uih=512,
+    # M-FALCON 40-candidate chunks) warm in seconds on re-runs instead of
+    # recompiling for >10 min through the compile relay
+    import os as _os
+
+    cache_dir = _os.environ.get(
+        "GR_TPU_COMPILE_CACHE", _os.path.join(_os.getcwd(), "build/xla_cache")
+    )
+    _os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     p = argparse.ArgumentParser()
     p.add_argument(
         "--scenario", default="Offline",
-        choices=["Offline", "Server", "SingleStream"],
+        choices=["Offline", "Server", "SingleStream", "MultiStream"],
     )
+    p.add_argument(
+        "--samples_per_query", type=int, default=8,
+        help="MultiStream: samples per query",
+    )
+    p.add_argument(
+        "--target_latency_ms", type=float, default=0.0,
+        help="per-query latency bound (0 = unconstrained); enables "
+        "early stopping for the stream scenarios",
+    )
+    p.add_argument(
+        "--accuracy", action="store_true",
+        help="accuracy mode: run every QSL sample once, log predictions, "
+        "report NE/AUC (`dlrm_v3/inference/main.py:281-357` accuracy run)",
+    )
+    p.add_argument("--accuracy_log", default="build/accuracy_log.json")
     p.add_argument("--target_qps", type=float, default=20.0)
     p.add_argument("--num_queries", type=int, default=64)
     p.add_argument("--min_duration_ms", type=int, default=0)
@@ -114,6 +140,10 @@ def main() -> None:
     for i in range(args.num_warmups):
         predict(samples[i % len(samples)])
 
+    if args.accuracy:
+        _run_accuracy(args, cfg, samples, predict)
+        return
+
     if args.data_producer_threads > 1:
         producer = MultiThreadDataProducer(
             predict, args.data_producer_threads
@@ -133,19 +163,45 @@ def main() -> None:
             "Offline": "OFFLINE",
             "Server": "SERVER",
             "SingleStream": "SINGLE_STREAM",
+            "MultiStream": "MULTI_STREAM",
         }[args.scenario]
     ]
+    if scenario == Scenario.MULTI_STREAM:
+        # one query = samples_per_query samples (processed as consecutive
+        # batches inside a single completion window)
+        batches_per_query = max(
+            1, -(-args.samples_per_query // args.batch_size)
+        )
+
+        def issue_query(qid: int) -> None:  # noqa: F811
+            def run_group(q, _s):
+                for j in range(1, batches_per_query):
+                    predict(samples[(q + j) % len(samples)])
+                query_complete(q)
+
+            producer.enqueue(
+                qid, samples[qid % len(samples)],
+                lambda q, _preds: run_group(q, None),
+            )
+
+    # MLPerf latency percentiles: p90 SingleStream, p99 MultiStream/Server
+    pct = 0.9 if scenario == Scenario.SINGLE_STREAM else 0.99
     result = start_test(
         TestSettings(
             scenario=scenario,
             target_qps=args.target_qps,
             min_query_count=args.num_queries,
             min_duration_ms=args.min_duration_ms,
+            target_latency_ms=args.target_latency_ms,
+            target_percentile=pct,
+            samples_per_query=args.samples_per_query,
         ),
         issue_query,
     )
     producer.shutdown()
     cands_per_query = args.batch_size * args.max_num_candidates
+    if scenario == Scenario.MULTI_STREAM:
+        cands_per_query *= max(1, -(-args.samples_per_query // args.batch_size))
     result["scored_candidates_per_s"] = result["qps"] * cands_per_query
     logger.info(
         "scenario=%s result: %s",
@@ -153,6 +209,62 @@ def main() -> None:
         {k: round(v, 3) for k, v in result.items()},
     )
     print(result)
+
+
+def _run_accuracy(args, cfg, samples, predict) -> None:
+    """Accuracy mode: every QSL sample exactly once, single-threaded (the
+    reference forces data_producer_threads=1 in accuracy runs,
+    `dlrm_v3/inference/main.py:287-290`), predictions logged to JSON and
+    NE/AUC computed against the dataset supervision."""
+    import json
+    import os
+
+    import numpy as np
+
+    from generative_recommenders_tpu.modules.multitask_module import (
+        get_supervision_labels_and_weights,
+    )
+    from generative_recommenders_tpu.ops.padded import valid_mask
+    from generative_recommenders_tpu.train.dlrm_metrics import MetricsLogger
+
+    metrics = MetricsLogger(cfg.multitask_configs)
+    log = []
+    for qid, sample in enumerate(samples):
+        s_uih, s_ul, s_cands, s_nc = sample
+        preds = predict(sample)  # [T, B, M]
+        labels_d, weights_d = get_supervision_labels_and_weights(
+            s_cands[cfg.candidates_weight_feature_name],
+            s_cands[cfg.candidates_watchtime_feature_name],
+            cfg.multitask_configs,
+        )
+        cand_valid = valid_mask(s_nc, cfg.max_num_candidates)
+        labels = jnp.stack(
+            [labels_d[t.task_name] for t in cfg.multitask_configs]
+        )
+        cand_valid_f = cand_valid.astype(jnp.float32)
+        weights = jnp.stack(
+            [
+                weights_d.get(t.task_name, cand_valid_f) * cand_valid_f
+                for t in cfg.multitask_configs
+            ]
+        )
+        metrics.update(preds, labels, weights)
+        log.append(
+            {
+                "qsl_idx": qid,
+                "data": np.asarray(preds, np.float32).reshape(-1).tolist(),
+            }
+        )
+    os.makedirs(os.path.dirname(args.accuracy_log) or ".", exist_ok=True)
+    with open(args.accuracy_log, "w") as f:
+        json.dump(log, f)
+    m = metrics.compute()
+    logger.info(
+        "accuracy mode: %d samples -> %s; log at %s",
+        len(samples), {k: round(v, 5) for k, v in m.items()},
+        args.accuracy_log,
+    )
+    print({"accuracy": {k: round(v, 5) for k, v in m.items()}})
 
 
 if __name__ == "__main__":
