@@ -15,8 +15,10 @@ STUStack :421-466). Differences by design:
     intermediate (`ops/hstu_compute.py`) and STUStack wraps the layer in
     `nn.remat` with a `save_anything_except_these_names` policy — exactly
     the flagged activations are rematerialized in backward;
-  * `sort_by_length` (Triton load-balancing) has no TPU analogue: the Pallas
-    grid skips dead blocks per-row already.
+  * `sort_by_length` (Triton load-balancing) has no TPU analogue: the
+    resident-KV Pallas kernels walk only each row's LIVE kv chunks via an
+    in-kernel dynamic-bound loop (grid is (B, n_q) with no per-dead-block
+    steps), so wall-clock is already O(sum_i N_i^2) at any length variance.
 """
 
 from __future__ import annotations

@@ -833,7 +833,7 @@ def hstu_mha_dense_pallas(
     contextual_seq_len: int = 0,
     min_full_attn_seq_len: int = 0,
     block_q: int = 256,
-    block_k: int = 256,
+    block_k: int = 0,  # 0 = auto (measured: 512 at N>=2048, else 256)
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Drop-in Pallas twin of :func:`...xla.hstu_attention.hstu_mha_dense`
@@ -843,6 +843,11 @@ def hstu_mha_dense_pallas(
     V = v.shape[-1]
     if max_seq_len is None:
         max_seq_len = N
+    if block_k == 0:
+        # benchmarks/attn_tune.py on v5e: 256x512 wins at N>=2048 (fewer
+        # inner-loop iterations amortize per-chunk mask/sigmoid), 256x256
+        # below
+        block_k = 512 if N >= 2048 else 256
     if interpret is None:
         interpret = _interpret_default()
     nt = (
