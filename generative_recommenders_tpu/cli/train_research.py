@@ -97,6 +97,12 @@ def main() -> None:
     p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args()
 
+    from generative_recommenders_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+
     if args.distributed:
         from generative_recommenders_tpu.parallel.distributed import (
             initialize_distributed,

@@ -27,14 +27,11 @@ def main() -> None:
     # persist compiled executables so the long serving shapes (uih=512,
     # M-FALCON 40-candidate chunks) warm in seconds on re-runs instead of
     # recompiling for >10 min through the compile relay
-    import os as _os
-
-    cache_dir = _os.environ.get(
-        "GR_TPU_COMPILE_CACHE", _os.path.join(_os.getcwd(), "build/xla_cache")
+    from generative_recommenders_tpu.utils.compile_cache import (
+        enable_compile_cache,
     )
-    _os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument(
         "--scenario", default="Offline",
