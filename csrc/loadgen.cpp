@@ -177,6 +177,12 @@ void lg_start_test(Settings settings, IssueCallback issue_cb) {
       st.early_stopped = true;
       return true;
     }
+    // unreachable bound: when the overlatency rate exceeds the allowed
+    // rate, need grows faster than n and the run would never terminate —
+    // give up (latency_bound_ok will report the failure)
+    if (need > 64 * std::max<int64_t>(settings.min_query_count, 512)) {
+      return true;
+    }
     return false;
   };
 
