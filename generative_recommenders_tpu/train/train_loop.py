@@ -484,6 +484,27 @@ def train_loop(
                 seed=cfg.random_seed + epoch,
             )
         for batch in epoch_batches:
+            # mid-epoch partial eval every eval_interval batches
+            # (`research/trainer/train.py` "(every eval_interval) eval")
+            if (
+                cfg.eval_interval > 0
+                and batch_id > 0
+                and batch_id % cfg.eval_interval == 0
+            ):
+                m = trainer.eval_epoch(
+                    params,
+                    batch_iterator(
+                        eval_dataset, cfg.eval_batch_size, shuffle=True,
+                        seed=cfg.random_seed + batch_id,
+                    ),
+                    max_iters=cfg.partial_eval_num_iters,
+                )
+                tb.scalars(m, batch_id, prefix="eval_interval/")
+                logger.info(
+                    "step %d partial eval: HR@10 %.4f NDCG@10 %.4f",
+                    batch_id, m.get("hr@10", float("nan")),
+                    m.get("ndcg@10", float("nan")),
+                )
             step_rng = jax.random.fold_in(rng, batch_id)
             params, opt_state, loss = trainer.train_step(
                 params, opt_state, batch, step_rng
