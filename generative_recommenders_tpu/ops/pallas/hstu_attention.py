@@ -104,42 +104,6 @@ def _dsilu(x: jax.Array) -> jax.Array:
     return s * (1.0 + x * (1.0 - s))
 
 
-def _block_interior(
-    row0: jax.Array,
-    col0: jax.Array,
-    bq: int,
-    bk: int,
-    length: jax.Array,
-    num_targets: jax.Array,
-    causal: bool,
-    max_attn_len: int,
-    contextual_seq_len: int,
-) -> jax.Array:
-    """scalar bool — True iff every (row, col) pair in this tile is valid
-    under `_block_mask`, so the mask construction (iotas + compares +
-    select, the VPU-bound part of the kernel at small head dims) can be
-    skipped and p = silu(s)/n used directly.
-
-    Sufficient conditions (conservative):
-      * strictly-below-diagonal tile: col0 + bk <= row0 (causal dist > 0
-        everywhere; target-row capping keeps dist > 0 because capped rows
-        >= max_ids > col for col < max_ids),
-      * every column uncapped and in-range: col0 + bk <= length - num_targets,
-      * every row in-range: row0 + bq <= length,
-      * local window covers the whole tile when enabled,
-      * no contextual rows (contextual shifts row/col indices — keep the
-        masked path).
-    """
-    if not causal or contextual_seq_len > 0:
-        return jnp.bool_(False)
-    max_ids = length - num_targets
-    ok = jnp.logical_and(col0 + bk <= row0, row0 + bq <= length)
-    ok = jnp.logical_and(ok, col0 + bk <= max_ids)
-    if max_attn_len > 0:
-        ok = jnp.logical_and(ok, row0 + bq - 1 - col0 <= max_attn_len)
-    return ok
-
-
 # ============================================= forward (resident-KV) =======
 #
 # Grid (B, n_q) with the whole K/V row resident in VMEM (index constant per
