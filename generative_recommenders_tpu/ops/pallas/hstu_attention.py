@@ -12,16 +12,23 @@ so no LSE bookkeeping is needed; the backward recomputes S blockwise
 (dsilu fusion), mirroring the reference's recompute strategy.
 
 Jaggedness on TPU: storage is padded-dense [B, H, N, D]; the per-row
-``lengths`` are scalar-prefetched and drive both (a) ``pl.when`` compute
-skipping and (b) *index-map clamping* so skipped KV blocks repeat the previous
-block index and their HBM->VMEM DMA is elided by the pipeline.  Compute and
-traffic are therefore O(sum_i N_i^2) like the reference's jagged kernels,
-without dynamic shapes.
+``lengths`` are scalar-prefetched. Two kernel architectures, selected by
+whether the full-row operands fit the VMEM budget:
 
-All H heads are processed inside one grid step (grid = B x n_q x n_kv, head
-loop unrolled in-kernel): per-step fixed cost and the [bq, bk] mask/iota
-construction are amortized across heads — on v5e this is worth ~3-4x over a
-(B, H, n_q, n_kv) grid at HSTU's small head dims.
+  * resident-KV (the production shapes): grid (B, n_q) with the whole K/V
+    row resident in VMEM and an in-kernel fori_loop with a DYNAMIC bound
+    over live KV chunks — dead blocks cost nothing, not even a grid step,
+    so wall-clock (not just DMA) is O(sum_i N_i^2). The backward fuses dq
+    into the dk/dv kernel with one S/sigmoid recompute per tile pair and a
+    full-row dq VMEM accumulator.
+  * 3-D grid (large N): grid (B, n_q, n_kv) with ``pl.when`` compute
+    skipping and index-map clamping so dead KV blocks repeat the previous
+    block index and their HBM->VMEM DMA is elided.
+
+All H heads are processed inside one grid step (head loop unrolled
+in-kernel): per-step fixed cost and the [bq, bk] mask/iota construction are
+amortized across heads — on v5e this is worth ~3-4x over an H-in-grid
+layout at HSTU's small head dims.
 
 Mask semantics replicate `_get_valid_attn_mask`
 (`ops/pytorch/pt_hstu_attention.py:32-84`): causal, num_targets clamping,
