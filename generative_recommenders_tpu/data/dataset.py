@@ -310,6 +310,21 @@ class MultiFileSequenceDataset(SequenceDataset):
         # prefetcher's worker threads, and opening per row is what made the
         # round-1 loader unable to feed a pod (VERDICT missing #4)
         self._handles = threading.local()
+        # native mmap reader (csrc/csv_reader.cpp): GIL-free row parsing;
+        # python CSV path is the fallback
+        self._native = None
+        try:
+            from generative_recommenders_tpu.data.native_reader import (
+                NativeCorpus,
+            )
+
+            native = NativeCorpus(file_prefix, len(counts))
+            if len(native) == int(self._cumsum[-1]):
+                self._native = native
+            else:
+                native.close()
+        except Exception:
+            pass
         self._shift_id_by = shift_id_by
         self._num_items_hint = num_items_hint
         self._max_seq_len = max_sequence_length
@@ -352,15 +367,20 @@ class MultiFileSequenceDataset(SequenceDataset):
         return next(csv.reader([f.readline()]))
 
     def get_row(self, idx: int) -> Dict[str, np.ndarray]:
-        parts = self._read_line(int(idx))
-        user_id = int(parts[0])
-        items = np.asarray(
-            [int(x) + self._shift_id_by for x in parts[1].split(",")],
-            dtype=np.int64,
-        )
-        ratings = np.asarray(
-            [int(float(x)) for x in parts[2].split(",")], dtype=np.int64
-        )
+        if self._native is not None:
+            user_id, items, ratings = self._native.read_row(int(idx))
+            if self._shift_id_by:
+                items = items + self._shift_id_by
+        else:
+            parts = self._read_line(int(idx))
+            user_id = int(parts[0])
+            items = np.asarray(
+                [int(x) + self._shift_id_by for x in parts[1].split(",")],
+                dtype=np.int64,
+            )
+            ratings = np.asarray(
+                [int(float(x)) for x in parts[2].split(",")], dtype=np.int64
+            )
         # placeholder timestamps = item ids (`dataset.py:233`)
         seq = UserSequences(
             user_ids=np.asarray([user_id]),

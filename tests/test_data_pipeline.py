@@ -168,3 +168,40 @@ def test_multifile_prefetch_threads(tmp_path):
     for a, b in zip(sync, pre):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_native_reader_matches_python(tmp_path):
+    """csrc/csv_reader.cpp must parse identically to the python CSV path,
+    including float ratings and multi-shard row addressing."""
+    from generative_recommenders_tpu.data.dataset import (
+        MultiFileSequenceDataset,
+    )
+
+    prefix = str(tmp_path / "c")
+    rng = np.random.default_rng(7)
+    counts = [5, 7, 3]
+    with open(f"{prefix}_users.csv", "w") as f:
+        for i, c in enumerate(counts):
+            f.write(f"{i},{c}\n")
+    uid = 100
+    for i, c in enumerate(counts):
+        with open(f"{prefix}_{i}.csv", "w") as f:
+            for _ in range(c):
+                n = int(rng.integers(2, 12))
+                items = ",".join(str(x) for x in rng.integers(1, 10**7, n))
+                rts = ",".join(f"{x}.0" for x in rng.integers(1, 6, n))
+                f.write(f'{uid},"{items}","{rts}"\n')
+                uid += 1
+    ds = MultiFileSequenceDataset(
+        prefix, max_sequence_length=16, ignore_last_n=0, num_items_hint=10**7
+    )
+    assert ds._native is not None, "native reader should have built"
+    for idx in range(sum(counts)):
+        native_row = ds.get_row(idx)
+        ds_py = object.__new__(MultiFileSequenceDataset)
+        ds_py.__dict__ = {**ds.__dict__, "_native": None}
+        py_row = ds_py.get_row(idx)
+        for k in native_row:
+            np.testing.assert_array_equal(
+                native_row[k], py_row[k], err_msg=f"row {idx} field {k}"
+            )
