@@ -27,6 +27,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <vector>
@@ -36,7 +37,8 @@ namespace {
 struct Shard {
   const char* data = nullptr;
   size_t size = 0;
-  std::vector<size_t> line_offsets;  // start of each row
+  std::vector<size_t> line_offsets;  // start of each row (built lazily)
+  std::unique_ptr<std::once_flag> indexed{new std::once_flag};
 };
 
 struct Corpus {
@@ -60,23 +62,32 @@ bool map_shard(const std::string& path, Shard* out) {
   if (p == MAP_FAILED) return false;
   out->data = static_cast<const char*>(p);
   out->size = static_cast<size_t>(st.st_size);
-  out->line_offsets.clear();
-  out->line_offsets.push_back(0);
-  const char* d = out->data;
-  for (size_t i = 0; i < out->size; ++i) {
-    if (d[i] == '\n' && i + 1 < out->size) out->line_offsets.push_back(i + 1);
-  }
   return true;
 }
 
-// parses a comma-separated int list inside quotes starting at p (after the
-// opening quote); returns count written (or negative required size)
+// built lazily per shard (an ML-3B corpus is hundreds of GB — eagerly
+// newline-scanning every shard would turn csv_open into a full read)
+void build_index(Shard* s) {
+  std::call_once(*s->indexed, [s] {
+    s->line_offsets.clear();
+    s->line_offsets.push_back(0);
+    const char* d = s->data;
+    for (size_t i = 0; i < s->size; ++i) {
+      if (d[i] == '\n' && i + 1 < s->size) s->line_offsets.push_back(i + 1);
+    }
+  });
+}
+
+// parses a comma-separated int list terminated by `stop` ('"' for quoted
+// fields, ',' for unquoted single-value fields — csv.QUOTE_MINIMAL only
+// quotes fields containing a comma); returns count written (or negative
+// required size)
 int64_t parse_list(const char* p, const char* end, int64_t* out,
-                   int64_t cap) {
+                   int64_t cap, char stop) {
   int64_t n = 0;
   int64_t val = 0;
   bool neg = false, have = false;
-  for (; p < end && *p != '"'; ++p) {
+  for (; p < end && *p != stop; ++p) {
     char c = *p;
     if (c == '-') {
       neg = true;
@@ -108,7 +119,10 @@ int64_t parse_list(const char* p, const char* end, int64_t* out,
 
 extern "C" {
 
-int64_t csv_open(const char* prefix, int32_t n_shards) {
+// row_counts: per-shard row counts from the corpus index (_users.csv);
+// verified lazily against the real newline count on first shard access
+int64_t csv_open(const char* prefix, int32_t n_shards,
+                 const int64_t* row_counts) {
   auto* c = new Corpus();
   int64_t total = 0;
   for (int32_t i = 0; i < n_shards; ++i) {
@@ -118,7 +132,7 @@ int64_t csv_open(const char* prefix, int32_t n_shards) {
       delete c;
       return -1;
     }
-    total += static_cast<int64_t>(s.line_offsets.size());
+    total += row_counts[i];
     c->shards.push_back(std::move(s));
     c->cumsum.push_back(total);
   }
@@ -136,12 +150,13 @@ int64_t csv_num_rows(int64_t h) {
 
 // locates row `idx`; returns pointers to the row text
 static bool locate(Corpus* c, int64_t idx, const char** row,
-                   const char** row_end) {
+                   const char** row_end) {  // NOLINT
   size_t shard = 0;
   while (shard < c->cumsum.size() && c->cumsum[shard] <= idx) shard++;
   if (shard >= c->shards.size()) return false;
   int64_t local = idx - (shard == 0 ? 0 : c->cumsum[shard - 1]);
-  const Shard& s = c->shards[shard];
+  Shard& s = c->shards[shard];
+  build_index(&s);
   if (local >= static_cast<int64_t>(s.line_offsets.size())) return false;
   *row = s.data + s.line_offsets[local];
   const char* end = s.data + s.size;
@@ -183,15 +198,27 @@ int64_t csv_read_row(int64_t h, int64_t idx, int64_t* items,
   const char* p = static_cast<const char*>(memchr(row, ',', end - row));
   if (!p) return -1;
   p++;
-  if (p < end && *p == '"') p++;
-  int64_t n_items = parse_list(p, end, items, cap);
-  // advance past the closing quote and comma
-  const char* q = static_cast<const char*>(memchr(p, '"', end - p));
-  if (!q) return -1;
-  p = q + 1;
-  if (p < end && *p == ',') p++;
-  if (p < end && *p == '"') p++;
-  int64_t n_ratings = parse_list(p, end, ratings, cap);
+  // items field: quoted iff multi-valued (csv.QUOTE_MINIMAL)
+  bool quoted = (p < end && *p == '"');
+  if (quoted) p++;
+  char stop = quoted ? '"' : ',';
+  int64_t n_items = parse_list(p, end, items, cap, stop);
+  const char* q =
+      static_cast<const char*>(memchr(p, stop, end - p));
+  if (quoted) {
+    if (!q) return -1;
+    p = q + 1;
+    if (p < end && *p == ',') p++;
+  } else {
+    // unquoted single value: q is the comma before ratings (a row with no
+    // ratings field at all is malformed)
+    if (!q) return -1;
+    p = q + 1;
+  }
+  quoted = (p < end && *p == '"');
+  if (quoted) p++;
+  stop = quoted ? '"' : '\n';
+  int64_t n_ratings = parse_list(p, end, ratings, cap, stop);
   if (n_items > cap || n_ratings > cap) return -(n_items > n_ratings ? n_items : n_ratings);
   return n_items < n_ratings ? n_items : n_ratings;
 }

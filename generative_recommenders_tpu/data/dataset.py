@@ -318,11 +318,7 @@ class MultiFileSequenceDataset(SequenceDataset):
                 NativeCorpus,
             )
 
-            native = NativeCorpus(file_prefix, len(counts))
-            if len(native) == int(self._cumsum[-1]):
-                self._native = native
-            else:
-                native.close()
+            self._native = NativeCorpus(file_prefix, counts)
         except Exception:
             pass
         self._shift_id_by = shift_id_by
@@ -415,11 +411,14 @@ def background_prefetch(iterable, size: int = 8):
 
     q: "_queue.Queue" = _queue.Queue(maxsize=size)
     done = object()
+    failed = []
 
     def _worker():
         try:
             for item in iterable:
                 q.put(item)
+        except BaseException as e:  # re-raised in the consumer
+            failed.append(e)
         finally:
             q.put(done)
 
@@ -428,6 +427,8 @@ def background_prefetch(iterable, size: int = 8):
     while True:
         item = q.get()
         if item is done:
+            if failed:
+                raise failed[0]
             break
         yield item
 

@@ -46,7 +46,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 check=True,
             )
         lib = ctypes.CDLL(_LIB)
-        lib.csv_open.argtypes = [ctypes.c_char_p, ctypes.c_int32]
+        lib.csv_open.argtypes = [ctypes.c_char_p, ctypes.c_int32, _I64P]
         lib.csv_open.restype = ctypes.c_int64
         lib.csv_num_rows.argtypes = [ctypes.c_int64]
         lib.csv_num_rows.restype = ctypes.c_int64
@@ -67,12 +67,20 @@ def _load() -> Optional[ctypes.CDLL]:
 class NativeCorpus:
     """mmap'd sharded corpus; thread-safe reads without the GIL."""
 
-    def __init__(self, prefix: str, n_shards: int, initial_cap: int = 4096):
+    def __init__(
+        self,
+        prefix: str,
+        row_counts,  # per-shard row counts (from <prefix>_users.csv)
+        initial_cap: int = 4096,
+    ):
         lib = _load()
         if lib is None:
             raise RuntimeError("native csv reader unavailable")
         self._lib = lib
-        self._h = lib.csv_open(prefix.encode(), n_shards)
+        counts = np.asarray(row_counts, np.int64)
+        self._h = lib.csv_open(
+            prefix.encode(), len(counts), counts.ctypes.data_as(_I64P)
+        )
         if self._h < 0:
             raise RuntimeError(f"csv_open failed for {prefix}")
         self._cap = initial_cap

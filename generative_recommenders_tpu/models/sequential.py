@@ -222,9 +222,19 @@ class SequentialRecommender(nn.Module):
         past_ids: jax.Array,
         past_embeddings: jax.Array,
         past_payloads: Dict[str, jax.Array],
+        reserved_slots: int = 0,
     ):
         """Full encode that also returns per-layer KV caches
         (HSTUCacheState analogue). HSTU-only.
+
+        ``reserved_slots`` must be the number of delta tokens a later
+        `encode_delta` will append (M): the caches are trimmed by M padded
+        columns so the delta run reproduces EXACTLY this call's width — the
+        silu normalizer is 1/width and the bias window is width-keyed, so a
+        mismatched width silently diverges from a full re-encode. (The
+        trimmed columns are dead padding as long as every row satisfies
+        lengths <= width - M, which the gr_output_length tail slots
+        guarantee in the research batch layout.)
 
         Contract: with relative time bias enabled, row i's bias reads
         ts[i+1], so ``past_payloads["timestamps"]`` must carry the next
@@ -249,6 +259,11 @@ class SequentialRecommender(nn.Module):
             user_embeddings, lengths, timestamps,
             deterministic=True, return_caches=True,
         )
+        if reserved_slots > 0:
+            caches = [
+                (k[:, :-reserved_slots], v[:, :-reserved_slots])
+                for k, v in caches
+            ]
         out = self.output_postproc(encoded.astype(jnp.float32))
         return get_current_embeddings(past_lengths, out), caches
 

@@ -287,9 +287,10 @@ def _use_resident(H: int, N: int, D: int, V: int, itemsize: int) -> bool:
 
 
 def _use_resident_bwd(H: int, N: int, D: int, V: int, itemsize: int) -> bool:
-    return (
-        H * N * ((D + V) * itemsize + D * 4) <= _RESIDENT_BYTES_LIMIT + 1
-    )
+    # resident per step: q + do rows ((D+V)*itemsize), the dq output row
+    # (D*itemsize), and the f32 dq accumulator (D*4)
+    per_row = (D + V) * itemsize + D * itemsize + D * 4
+    return H * N * per_row <= _RESIDENT_BYTES_LIMIT
 
 
 # =============================================================== forward ====
@@ -837,6 +838,14 @@ def hstu_mha_dense_pallas(
         if bias is not None:
             bias = jnp.pad(bias, ((0, 0), (0, N_pad), (0, N_pad)))
         N = N + N_pad
+    # Block sizes must DIVIDE the padded N: the resident-KV kernels slice
+    # K/V (and Q/dO in the fused backward) with in-kernel pl.ds, and a
+    # partial last block would clamp the dynamic-slice start — silently
+    # attending the wrong rows. Halve until they fit.
+    while N % block_q:
+        block_q //= 2
+    while N % block_k:
+        block_k //= 2
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))

@@ -28,12 +28,16 @@ def initialize_distributed(
     MASTER_ADDR/MASTER_PORT/WORLD_SIZE analogues)."""
     # do NOT call jax.process_count() here — it initializes the backend,
     # after which jax.distributed.initialize is impossible
-    from jax._src import distributed as _dist
+    already = bool(os.environ.get("JAX_DIST_INITIALIZED"))
+    try:  # private API; best-effort probe only
+        from jax._src import distributed as _dist
 
-    if (
-        getattr(_dist.global_state, "client", None) is not None
-        or os.environ.get("JAX_DIST_INITIALIZED")
-    ):
+        already = already or (
+            getattr(_dist.global_state, "client", None) is not None
+        )
+    except Exception:
+        pass
+    if already:
         return
     try:
         jax.distributed.initialize(

@@ -205,3 +205,32 @@ def test_native_reader_matches_python(tmp_path):
             np.testing.assert_array_equal(
                 native_row[k], py_row[k], err_msg=f"row {idx} field {k}"
             )
+
+
+def test_native_reader_unquoted_single_event_rows(tmp_path):
+    """csv.QUOTE_MINIMAL leaves single-element fields unquoted — the native
+    parser must handle `uid,5,3.0` rows (regression: returned -1)."""
+    import csv as _csv
+
+    from generative_recommenders_tpu.data.dataset import (
+        MultiFileSequenceDataset,
+    )
+
+    prefix = str(tmp_path / "m")
+    with open(f"{prefix}_users.csv", "w") as f:
+        f.write("0,3\n")
+    with open(f"{prefix}_0.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow([1, "5", "3.0"])  # single event -> unquoted
+        w.writerow([2, "7,9,11", "1.0,2.0,3.0"])
+        w.writerow([3, "13", "4.0"])
+    ds = MultiFileSequenceDataset(
+        prefix, max_sequence_length=8, ignore_last_n=0, num_items_hint=20
+    )
+    assert ds._native is not None
+    r0 = ds.get_row(0)
+    assert r0["target_ids"] == 5 and r0["history_lengths"] == 0
+    r1 = ds.get_row(1)
+    np.testing.assert_array_equal(r1["historical_ids"][:2], [7, 9])
+    assert r1["target_ids"] == 11
+    assert ds.get_row(2)["target_ids"] == 13

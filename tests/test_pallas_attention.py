@@ -141,3 +141,57 @@ def test_pallas_bwd_matches_spec(case):
             a_np[bb, lengths[bb]:] = 0.0
             b_np[bb, lengths[bb]:] = 0.0
         np.testing.assert_allclose(b_np, a_np, rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_unaligned_block_shapes_match_spec():
+    """Regression: padded N not divisible by the default block sizes used to
+    clamp the resident-kernel pl.ds slices and silently attend wrong rows
+    (e.g. serving shape uih=512+40 -> N=552 -> padded 640 with bk=256)."""
+    import numpy as np
+
+    from generative_recommenders_tpu.ops.attention_mask import (
+        apply_padding_guard,
+        make_valid_attn_mask,
+    )
+    from generative_recommenders_tpu.ops.pallas.hstu_attention import (
+        hstu_mha_dense_pallas,
+    )
+    from generative_recommenders_tpu.ops.xla.hstu_attention import (
+        hstu_mha_dense,
+    )
+
+    for N in (384, 552):
+        B, H, D = 2, 2, 32
+        rng = np.random.default_rng(N)
+        lengths = jnp.asarray([N, N - 7], jnp.int32)
+        mk = lambda: jnp.asarray(rng.standard_normal((B, N, H, D)) * 0.3,
+                                 jnp.float32)
+        q, k, v = mk(), mk(), mk()
+        alpha = 1.0 / D**0.5
+
+        def loss_p(q, k, v):
+            o = hstu_mha_dense_pallas(
+                q, k, v, lengths=lengths, alpha=alpha, max_seq_len=N,
+                causal=True,
+            )
+            return jnp.sum(o * o), o
+
+        mask = apply_padding_guard(
+            make_valid_attn_mask(N, lengths, causal=True), lengths
+        )
+
+        def loss_x(q, k, v):
+            o = hstu_mha_dense(q, k, v, alpha=alpha, max_seq_len=N, mask=mask)
+            return jnp.sum(o * o), o
+
+        (_, o_p), g_p = jax.value_and_grad(loss_p, (0, 1, 2), has_aux=True)(q, k, v)
+        (_, o_x), g_x = jax.value_and_grad(loss_x, (0, 1, 2), has_aux=True)(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(o_p), np.asarray(o_x), rtol=2e-4, atol=2e-5,
+            err_msg=f"N={N} fwd",
+        )
+        for nm, a, b in zip("dq dk dv".split(), g_p, g_x):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+                err_msg=f"N={N} {nm}",
+            )

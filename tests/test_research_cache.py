@@ -93,10 +93,9 @@ def test_encode_delta_matches_full(enable_bias, M):
     ].set(jnp.asarray(delta_ts)[:, 0])
     prefill_payloads = {**payloads, "timestamps": prefill_ts}
     _, caches = model.apply(
-        params, lengths, ids, emb(ids), prefill_payloads,
+        params, lengths, ids, emb(ids), prefill_payloads, M,
         method=SequentialRecommender.encode_with_cache,
     )
-    caches = [(k[:, : Ncap - M], v[:, : Ncap - M]) for k, v in caches]
     got, new_caches = model.apply(
         params, lengths, delta_ids, emb(delta_ids), full_payloads, caches,
         method=SequentialRecommender.encode_delta,
