@@ -286,11 +286,17 @@ def _use_resident(H: int, N: int, D: int, V: int, itemsize: int) -> bool:
     return H * N * (D + V) * itemsize <= _RESIDENT_BYTES_LIMIT
 
 
+# the backward's per-step residency (q + do + dq out + f32 dq accumulator)
+# is ~2.6x the forward's K/V, so it gets a proportionally larger budget;
+# both leave ~2x headroom for pipeline double-buffering in 16 MiB VMEM
+_RESIDENT_BYTES_LIMIT_BWD = 6 * 1024 * 1024
+
+
 def _use_resident_bwd(H: int, N: int, D: int, V: int, itemsize: int) -> bool:
     # resident per step: q + do rows ((D+V)*itemsize), the dq output row
     # (D*itemsize), and the f32 dq accumulator (D*4)
     per_row = (D + V) * itemsize + D * itemsize + D * 4
-    return H * N * per_row <= _RESIDENT_BYTES_LIMIT
+    return H * N * per_row <= _RESIDENT_BYTES_LIMIT_BWD
 
 
 # =============================================================== forward ====
