@@ -195,3 +195,16 @@ def test_unaligned_block_shapes_match_spec():
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
                 err_msg=f"N={N} {nm}",
             )
+
+
+def test_residency_selection():
+    """The flagship B8xN2048xH4xD64 bf16 shape must use the resident-KV
+    kernels in BOTH directions (regression: a budget-formula fix once
+    silently evicted the backward to the slower 3-D grid)."""
+    from generative_recommenders_tpu.ops.pallas import hstu_attention as pa
+
+    assert pa._use_resident(4, 2048, 64, 64, 2)
+    assert pa._use_resident_bwd(4, 2048, 64, 64, 2)
+    assert pa._use_resident(4, 4096, 64, 64, 2)       # fwd still resident
+    assert not pa._use_resident_bwd(4, 4096, 64, 64, 2)  # bwd -> 3-D grid
+    assert not pa._use_resident(4, 8192, 64, 64, 2)
