@@ -16,7 +16,6 @@ import logging
 import time
 
 import jax
-import numpy as np
 
 
 def main() -> None:

@@ -21,7 +21,6 @@ import logging
 import time
 
 import jax
-import numpy as np
 
 logger = logging.getLogger(__name__)
 

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from generative_recommenders_tpu.data.dlrm_dataset import DLRMv3RandomDataset
 from generative_recommenders_tpu.modules.dlrm_hstu import (
     DlrmHSTU,
     DlrmHSTUConfig,

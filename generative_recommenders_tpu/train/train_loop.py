@@ -8,7 +8,6 @@ variant wraps them with NamedSharding over a mesh (see parallel/).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 import time
 from typing import Any, Dict, Iterator, Optional, Tuple
