@@ -230,3 +230,22 @@ def test_dlrm_train_step_no_table_allgather():
     for line in hlo.splitlines():
         if "all-gather" in line and f"{table_rows},16" in line.replace(" ", ""):
             raise AssertionError(f"table all-gather found: {line.strip()}")
+
+
+def test_ragged_exchange_traces(mesh):
+    """The TPU ragged_all_to_all variant can't execute on XLA:CPU (no
+    thunk), but abstract evaluation validates all its shape/offset routing
+    math — fwd and bwd."""
+    import generative_recommenders_tpu.parallel.embedding as emb
+
+    fn = emb._make_lookup(mesh, "ragged", 64, 16)
+    table = jax.ShapeDtypeStruct((64, 16), jnp.float32)
+    ids = jax.ShapeDtypeStruct((8, 5), jnp.int32)
+    out = jax.eval_shape(fn, table, ids)
+    assert out.shape == (8, 5, 16)
+
+    def loss(t, i):
+        return jnp.sum(fn(t, i) ** 2)
+
+    g = jax.eval_shape(lambda t, i: jax.grad(loss)(t, i), table, ids)
+    assert g.shape == (64, 16)
