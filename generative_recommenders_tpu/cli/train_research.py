@@ -177,7 +177,11 @@ def main() -> None:
 
         out = distributed_train_loop(cfg, train_ds, eval_ds)
     else:
-        out = train_loop(cfg, train_ds, eval_ds)
+        out = train_loop(
+            cfg, train_ds, eval_ds,
+            ckpt_dir=args.ckpt_dir,
+            save_ckpt_every_n=args.save_ckpt_every_n if args.ckpt_dir else 0,
+        )
     logger.info("training done in %.1fs", time.time() - t0)
     if args.ckpt_dir:
         path = save_checkpoint(

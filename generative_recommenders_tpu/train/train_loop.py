@@ -8,6 +8,7 @@ variant wraps them with NamedSharding over a mesh (see parallel/).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from typing import Any, Dict, Iterator, Optional, Tuple
@@ -89,6 +90,9 @@ class TrainConfig:
     # `research/trainer/data_loader.py:25-57`); 0 = synchronous
     num_workers: int = 4
     prefetch_factor: int = 16
+    # rematerialize the sampled-softmax loss in backward
+    # (`losses/sampled_softmax.py:170-175` activation checkpointing)
+    loss_activation_checkpoint: bool = False
 
 
 class ResearchTrainer:
@@ -288,9 +292,13 @@ class ResearchTrainer:
                 softmax_temperature=cfg.temperature,
             )
         elif cfg.loss_module == "SampledSoftmaxLoss":
-            loss, aux = sampled_softmax_loss(
-                output, pos_emb, sup_ids, ar_mask, neg_ids, neg_emb,
-                softmax_temperature=cfg.temperature,
+            loss_fn = functools.partial(
+                sampled_softmax_loss, softmax_temperature=cfg.temperature
+            )
+            if cfg.loss_activation_checkpoint:
+                loss_fn = jax.checkpoint(loss_fn)
+            loss, aux = loss_fn(
+                output, pos_emb, sup_ids, ar_mask, neg_ids, neg_emb
             )
         elif cfg.loss_module == "BCELoss":
             assert not is_mol, "BCELoss + MoL is not wired up"
@@ -451,6 +459,8 @@ def train_loop(
     log_every: int = 100,
     max_steps: Optional[int] = None,
     tb_log_dir: Optional[str] = None,
+    ckpt_dir: Optional[str] = None,
+    save_ckpt_every_n: int = 0,  # epochs; 0 = never (`train.py:507-515`)
 ) -> Dict[str, Any]:
     """Epoch driver mirroring `train_fn`'s hot loop (`train.py:306-521`)."""
     from generative_recommenders_tpu.utils.tb import SummaryLogger
@@ -530,6 +540,15 @@ def train_loop(
         metrics["epoch"] = epoch
         history.append(metrics)
         tb.scalars(metrics, batch_id, prefix="eval/")
+        if ckpt_dir and save_ckpt_every_n and (epoch + 1) % save_ckpt_every_n == 0:
+            from generative_recommenders_tpu.utils.checkpoint import (
+                save_checkpoint,
+            )
+
+            save_checkpoint(
+                ckpt_dir, {"params": params, "opt_state": opt_state}, epoch
+            )
+            logger.info("checkpoint @ epoch %d -> %s", epoch, ckpt_dir)
         logger.info(
             "eval epoch %d: NDCG@10 %.4f HR@10 %.4f HR@50 %.4f MRR %.4f",
             epoch,
