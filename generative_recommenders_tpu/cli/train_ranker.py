@@ -45,6 +45,9 @@ def main() -> None:
     p.add_argument("--stochastic_depth", type=float, default=0.0)
     p.add_argument("--l2_max_len", type=int, default=0)
     # multi-host bootstrap (`dlrm_v3/train/utils.py:72-93` analogue)
+    # anomaly-mode twin (`research/trainer/train.py:302`
+    # set_detect_anomaly): fail fast on the first NaN/Inf under jit
+    p.add_argument("--debug_nans", action="store_true")
     p.add_argument("--distributed", action="store_true")
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num_processes", type=int, default=None)
@@ -56,6 +59,8 @@ def main() -> None:
     )
 
     enable_compile_cache()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     if args.distributed:
         from generative_recommenders_tpu.parallel.distributed import (

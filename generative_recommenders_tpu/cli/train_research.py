@@ -90,6 +90,9 @@ def main() -> None:
     # multi-host bootstrap (MASTER_ADDR/WORLD_SIZE analogues,
     # `research/trainer/train.py:73-79`); on Cloud TPU pods pass only
     # --distributed and the rest is inferred from the environment
+    # anomaly-mode twin (`research/trainer/train.py:302`
+    # set_detect_anomaly): fail fast on the first NaN/Inf under jit
+    p.add_argument("--debug_nans", action="store_true")
     p.add_argument("--distributed", action="store_true")
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num_processes", type=int, default=None)
@@ -101,6 +104,8 @@ def main() -> None:
     )
 
     enable_compile_cache()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     if args.distributed:
         from generative_recommenders_tpu.parallel.distributed import (
