@@ -62,6 +62,10 @@ def main() -> None:
     p.add_argument("--num_warmups", type=int, default=2)
     p.add_argument("--data_producer_threads", type=int, default=1)
     p.add_argument("--mfalcon", action="store_true", help="KV-cached scoring")
+    p.add_argument(
+        "--candidates_per_chunk", type=int, default=0,
+        help="M-FALCON chunk size (max_num_candidates_inference); 0 = config default",
+    )
     p.add_argument("--no_quantize", action="store_true")
     p.add_argument("--attn_kernel", default=None, choices=["xla", "pallas"])
     args = p.parse_args()
@@ -97,6 +101,12 @@ def main() -> None:
         max_num_candidates=args.max_num_candidates,
         attn_kernel=attn,
     )
+    if args.candidates_per_chunk:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, max_num_candidates_inference=args.candidates_per_chunk
+        )
     tables = get_embedding_table_config(
         "debug", hash_size=args.hash_size, dim=cfg.hstu_embedding_table_dim
     )
