@@ -20,7 +20,10 @@ from generative_recommenders_tpu.ops.attention_mask import (
 )
 from generative_recommenders_tpu.ops.xla.hstu_attention import hstu_mha_dense
 
-tpu_devices = [d for d in jax.devices() if d.platform == "tpu"]
+try:
+    tpu_devices = [d for d in jax.devices() if d.platform == "tpu"]
+except RuntimeError:  # backend init failure (e.g. relay drop) -> skip
+    tpu_devices = []
 
 pytestmark = pytest.mark.skipif(
     not tpu_devices, reason="real-TPU Mosaic lowering tests"
