@@ -129,6 +129,9 @@ int64_t csv_open(const char* prefix, int32_t n_shards,
     Shard s;
     std::string path = std::string(prefix) + "_" + std::to_string(i) + ".csv";
     if (!map_shard(path, &s)) {
+      for (auto& m : c->shards) {
+        if (m.data) munmap(const_cast<char*>(m.data), m.size);
+      }
       delete c;
       return -1;
     }
@@ -145,6 +148,7 @@ int64_t csv_num_rows(int64_t h) {
   std::lock_guard<std::mutex> lock(g_mu);
   if (h < 0 || h >= static_cast<int64_t>(g_corpora.size()) || !g_corpora[h])
     return -1;
+  if (g_corpora[h]->cumsum.empty()) return -1;  // n_shards == 0
   return g_corpora[h]->cumsum.back();
 }
 
@@ -220,7 +224,10 @@ int64_t csv_read_row(int64_t h, int64_t idx, int64_t* items,
   stop = quoted ? '"' : '\n';
   int64_t n_ratings = parse_list(p, end, ratings, cap, stop);
   if (n_items > cap || n_ratings > cap) return -(n_items > n_ratings ? n_items : n_ratings);
-  return n_items < n_ratings ? n_items : n_ratings;
+  // item/rating list lengths must agree — fail loudly (the python reader
+  // surfaces the same mismatch downstream; the two paths must not diverge)
+  if (n_items != n_ratings) return -1;
+  return n_items;
 }
 
 void csv_close(int64_t h) {

@@ -206,9 +206,12 @@ def main() -> None:
         issue_query,
     )
     producer.shutdown()
-    cands_per_query = args.batch_size * args.max_num_candidates
     if scenario == Scenario.MULTI_STREAM:
-        cands_per_query *= max(1, -(-args.samples_per_query // args.batch_size))
+        # one query = samples_per_query samples (the padded tail of the last
+        # batch is not counted as scored work)
+        cands_per_query = args.samples_per_query * args.max_num_candidates
+    else:
+        cands_per_query = args.batch_size * args.max_num_candidates
     result["scored_candidates_per_s"] = result["qps"] * cands_per_query
     logger.info(
         "scenario=%s result: %s",

@@ -66,6 +66,24 @@ class DistributedTrainer(ResearchTrainer):
         batch: Dict[str, np.ndarray],
         rng: jax.Array,
     ) -> Tuple[Any, Any, jax.Array]:
+        cfg = self.cfg
+        if cfg.seq_len_buckets or cfg.runtime_bucketing:
+            # same compile-bucket preamble as ResearchTrainer.train_step; the
+            # bucket width is computed from the batch at hand, so it is only
+            # host-consistent when there is a single process
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "seq_len_buckets/runtime_bucketing are unsupported in "
+                    "multi-process training: bucket widths computed from "
+                    "host-local batches would diverge across hosts"
+                )
+            from generative_recommenders_tpu.utils.bucketing import (
+                bucket_batch,
+            )
+
+            batch = bucket_batch(
+                batch, cfg.seq_len_buckets, cfg.runtime_bucketing
+            )
         if self._sharded_train_step is None:
             assert self._param_sh is not None, "call init_sharded first"
             rep = replicated(self.mesh)

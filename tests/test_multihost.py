@@ -5,6 +5,7 @@ batch via contiguous host shards + `to_global_batch` (VERDICT round-1 weak
 """
 
 import os
+import socket
 import subprocess
 import sys
 
@@ -30,10 +31,16 @@ def test_two_process_matches_single(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
 
+    # pick a free coordinator port at runtime (a hardcoded one collides on
+    # shared CI hosts)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
     outs = [str(tmp_path / f"mp{i}.txt") for i in range(2)]
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, outs[i], "2", str(i), "29587"],
+            [sys.executable, _WORKER, outs[i], "2", str(i), str(port)],
             env=_env(), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         )
