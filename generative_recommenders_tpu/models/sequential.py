@@ -10,7 +10,7 @@ assembled by `research/modeling/sequential/encoder_utils.py:37-150` and
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -76,11 +76,16 @@ class SequentialRecommender(nn.Module):
     """
 
     config: ModelConfig
+    # optional sharded-lookup exchange (table, ids[B, M]) -> [B, M, D]; bound
+    # by parallel/train.DistributedTrainer when the mesh row-shards the table
+    lookup_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None
 
     def setup(self) -> None:
         cfg = self.config
         self.embedding_module = LocalEmbeddingModule(
-            num_items=cfg.num_items, embedding_dim=cfg.item_embedding_dim
+            num_items=cfg.num_items,
+            embedding_dim=cfg.item_embedding_dim,
+            lookup_fn=self.lookup_fn,
         )
         self.input_preproc = LearnablePositionalEmbeddingInputFeaturesPreprocessor(
             max_sequence_len=cfg.total_seq_len,

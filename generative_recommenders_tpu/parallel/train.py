@@ -41,6 +41,28 @@ class DistributedTrainer(ResearchTrainer):
     ) -> None:
         super().__init__(cfg, all_item_ids)
         self.mesh = mesh
+        # Row-sharded item table => route every batch-shaped lookup through
+        # the all-to-all exchange (`parallel/embedding.py:sharded_lookup`)
+        # instead of jnp.take, whose GSPMD lowering would silently all-gather
+        # the table (+AdamW moments) every step. Mirrors the DlrmTrainer
+        # binding (`train/dlrm_train.py`); guaranteed by
+        # `tests/test_parallel.py::test_research_train_step_no_table_allgather`.
+        from generative_recommenders_tpu.parallel.mesh import MODEL_AXIS
+
+        if mesh.shape[MODEL_AXIS] > 1:
+            from generative_recommenders_tpu.models.sequential import (
+                SequentialRecommender,
+            )
+            from generative_recommenders_tpu.parallel.embedding import (
+                sharded_lookup,
+            )
+
+            self._lookup_fn = lambda table, ids: sharded_lookup(
+                table, ids, mesh
+            )
+            self.model = SequentialRecommender(
+                cfg.model, lookup_fn=self._lookup_fn
+            )
         self._param_sh: Any = None
         self._opt_sh: Any = None
         self._sharded_train_step = None

@@ -100,6 +100,9 @@ class ResearchTrainer:
 
     def __init__(self, cfg: TrainConfig, all_item_ids: np.ndarray) -> None:
         self.cfg = cfg
+        # sharded-lookup exchange; DistributedTrainer rebinds both when the
+        # mesh row-shards the item table (`parallel/train.py`)
+        self._lookup_fn = None
         self.model = SequentialRecommender(cfg.model)
         self.all_item_ids = np.asarray(all_item_ids, dtype=np.int32)
         self._id_to_col = jnp.asarray(
@@ -246,11 +249,18 @@ class ResearchTrainer:
                 # log-softmaxes in f32)
                 table = params["params"]["embedding_module"]["item_emb"]
                 table16 = table.astype(jnp.bfloat16)
+                lookup_fn = self._lookup_fn
 
                 def emb_fn(ids):
-                    e = jnp.take(
-                        table16, jnp.clip(ids, 0, cfg.model.num_items), axis=0
-                    )
+                    clipped = jnp.clip(ids, 0, cfg.model.num_items)
+                    if lookup_fn is not None and ids.ndim >= 2:
+                        # keep the no-table-allgather guarantee on the bf16
+                        # negatives fast path too
+                        e = lookup_fn(
+                            table16, clipped.reshape(ids.shape[0], -1)
+                        ).reshape(*ids.shape, table16.shape[-1])
+                    else:
+                        e = jnp.take(table16, clipped, axis=0)
                     return e * (ids != 0)[..., None].astype(e.dtype)
 
             else:

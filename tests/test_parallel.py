@@ -249,3 +249,83 @@ def test_ragged_exchange_traces(mesh):
 
     g = jax.eval_shape(lambda t, i: jax.grad(loss)(t, i), table, ids)
     assert g.shape == (64, 16)
+
+
+# ---------------------------------------------------------------------------
+# research-stack sharded-table guarantees (VERDICT round-2 #4): the research
+# trainer must ride the same all-to-all exchange as DlrmTrainer when the mesh
+# row-shards the item table — no implicit GSPMD table all-gather.
+
+
+def _tiny_research_cfg(num_items=127, batch=8):
+    return TrainConfig(
+        model=ModelConfig(
+            num_items=num_items,  # +1 pad row = 128 — divisible by any axis
+            max_sequence_len=12,
+            gr_output_length=1,
+            item_embedding_dim=16,
+            num_blocks=1,
+            num_heads=2,
+            dqk=8,
+            dv=8,
+            attn_kernel="xla",
+            linear_dropout_rate=0.0,
+            dropout_rate=0.0,
+        ),
+        local_batch_size=batch,
+        eval_batch_size=batch,
+        num_negatives=8,
+        sampling_strategy="local",
+    )
+
+
+def test_research_train_step_mesh_parity():
+    """Research sharded-table step on (4,2) ≡ pure-DP step on (8,1): the
+    all-to-all lookup + routed cotangents reproduce single-shard AdamW math."""
+    cpus = jax.devices("cpu")
+    seqs = synthetic_user_sequences(
+        num_users=64, num_items=127, max_len=12, seed=0
+    )
+    ds = SequenceDataset(seqs, max_sequence_length=12, ignore_last_n=1)
+    losses, tables = [], []
+    for shape in ((8, 1), (4, 2)):
+        mesh = make_mesh(shape=shape, devices=cpus)
+        trainer = DistributedTrainer(_tiny_research_cfg(), ds.all_item_ids(), mesh)
+        rng = jax.random.PRNGKey(0)
+        params, opt_state = trainer.init_sharded(rng)
+        batch = next(batch_iterator(ds, 8, shuffle=False, seed=0))
+        for step in range(2):
+            params, opt_state, loss = trainer.train_step(
+                params, opt_state, batch, jax.random.PRNGKey(7 + step)
+            )
+        losses.append(float(loss))
+        tables.append(
+            np.asarray(params["params"]["embedding_module"]["item_emb"])
+        )
+    assert np.allclose(losses[0], losses[1], rtol=1e-5), losses
+    np.testing.assert_allclose(tables[0], tables[1], rtol=5e-5, atol=1e-6)
+
+
+def test_research_train_step_no_table_allgather():
+    """The compiled research train step must not all-gather the 128x16 item
+    table (or its AdamW moments): comms are the id/vector exchange only.
+    Twin of test_dlrm_train_step_no_table_allgather."""
+    cpus = jax.devices("cpu")
+    mesh = make_mesh(shape=(2, 4), devices=cpus)
+    seqs = synthetic_user_sequences(
+        num_users=64, num_items=127, max_len=12, seed=0
+    )
+    ds = SequenceDataset(seqs, max_sequence_length=12, ignore_last_n=1)
+    trainer = DistributedTrainer(_tiny_research_cfg(), ds.all_item_ids(), mesh)
+    rng = jax.random.PRNGKey(0)
+    params, opt_state = trainer.init_sharded(rng)
+    batch = next(batch_iterator(ds, 8, shuffle=False, seed=0))
+    trainer.train_step(params, opt_state, batch, rng)  # builds + compiles
+    hlo = (
+        trainer._sharded_train_step.lower(params, opt_state, batch, rng)
+        .compile()
+        .as_text()
+    )
+    for line in hlo.splitlines():
+        if "all-gather" in line and "128,16" in line.replace(" ", ""):
+            raise AssertionError(f"table all-gather found: {line.strip()}")
