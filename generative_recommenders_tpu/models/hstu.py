@@ -63,9 +63,13 @@ class RelativeBucketedTimeAndPositionBasedBias(nn.Module):
         self,
         all_timestamps: jax.Array,
         row_idx: Optional[jax.Array] = None,  # int[B, M] — delta rows only
+        return_raw: bool = False,
     ) -> jax.Array:
         """Full [1/B, N, N] bias, or — with ``row_idx`` — just the delta
-        rows [B, M, N] (the KV-cached encode path, `hstu.py:150-223`)."""
+        rows [B, M, N] (the KV-cached encode path, `hstu.py:150-223`).
+        ``return_raw`` instead returns the raw ``(pos_w, ts_w)`` tables for
+        the in-kernel rel-bias Pallas path (same params, nothing
+        materialized)."""
         N = all_timestamps.shape[1]
         Nm = self.max_seq_len
         ts_w = self.param(
@@ -74,6 +78,8 @@ class RelativeBucketedTimeAndPositionBasedBias(nn.Module):
         pos_w = self.param(
             "pos_w", nn.initializers.normal(0.02), (2 * Nm - 1,), jnp.float32
         )
+        if return_raw:
+            return pos_w, ts_w
         i = jnp.arange(N, dtype=jnp.int32)
         ts = all_timestamps.astype(jnp.float32)  # [B, N]
         ext = jnp.concatenate([ts, ts[:, N - 1 : N]], axis=1)  # [B, N + 1]
@@ -186,11 +192,35 @@ class SequentialTransductionUnit(nn.Module):
                 deterministic,
             )
 
-        bias = None
-        if self.normalization in ("rel_bias", "hstu_rel_bias") and (
+        wants_bias = self.normalization in ("rel_bias", "hstu_rel_bias") and (
             self.enable_relative_attention_bias
-        ):
-            tbl_len = self.max_total_seq_len or N
+        )
+        tbl_len = self.max_total_seq_len or N
+        attn_kernel = self.attn_kernel
+        if attn_kernel == "auto":
+            # fused XLA attention wins below N~512 on v5e (per-step grid
+            # overhead dominates the Pallas path at short N); the flash
+            # kernel wins ~2.7x at N>=1024 — measured in benchmarks/
+            attn_kernel = "pallas" if N >= 512 else "xla"
+
+        # the flagship path: time+position rel bias computed INSIDE the
+        # flash kernel (fwd + bwd) — nothing [B, N, N] is ever built
+        use_relbias_kernel = False
+        if attn_kernel == "pallas" and wants_bias and all_timestamps is not None:
+            from generative_recommenders_tpu.ops.pallas.hstu_attention_relbias import (  # noqa: E501
+                relbias_pallas_supported,
+            )
+
+            use_relbias_kernel = (
+                self.relative_bias_num_buckets <= 128
+                and self.attn_dropout_ratio == 0.0
+                and relbias_pallas_supported(
+                    H, N, dqk, dv, jnp.dtype(x.dtype).itemsize
+                )
+            )
+
+        bias = None
+        if wants_bias and not use_relbias_kernel:
             if all_timestamps is not None:
                 bias = RelativeBucketedTimeAndPositionBasedBias(
                     max_seq_len=tbl_len,
@@ -207,23 +237,40 @@ class SequentialTransductionUnit(nn.Module):
         if self.attn_dropout_ratio > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
 
-        attn_kernel = self.attn_kernel
-        if attn_kernel == "auto":
-            # fused XLA attention wins below N~512 on v5e (per-step grid
-            # overhead dominates the Pallas path at short N); the flash
-            # kernel wins ~2.7x at N>=1024 — measured in benchmarks/
-            attn_kernel = "pallas" if N >= 512 else "xla"
         if attn_kernel == "pallas" and bias is not None:
-            # the Pallas bias path is forward-only (no custom VJP); training
-            # with relative attention bias uses the fused XLA attention
-            # (with the bias gathers in their fast one-hot form)
+            # pure-positional bias (no timestamps) or unsupported geometry:
+            # materialized-bias training uses the fused XLA attention (with
+            # the bias gathers in their fast one-hot form)
             attn_kernel = "xla"
         if attn_kernel == "pallas" and self.attn_dropout_ratio > 0.0:
             raise ValueError(
                 "attn_dropout_rate > 0 is not supported by the Pallas "
                 "attention kernel; use attn_kernel='xla'"
             )
-        if attn_kernel == "pallas":
+        if use_relbias_kernel:
+            from generative_recommenders_tpu.ops.pallas.hstu_attention_relbias import (  # noqa: E501
+                hstu_mha_dense_pallas_relbias,
+            )
+
+            pos_w, ts_w = RelativeBucketedTimeAndPositionBasedBias(
+                max_seq_len=tbl_len,
+                num_buckets=self.relative_bias_num_buckets,
+                name="rel_attn_bias",
+            )(all_timestamps, return_raw=True)
+            attn = hstu_mha_dense_pallas_relbias(
+                q.reshape(B, N, H, dqk),
+                k.reshape(B, N, H, dqk),
+                v.reshape(B, N, H, dv),
+                lengths=lengths,
+                timestamps=all_timestamps,
+                pos_w=pos_w,
+                ts_w=ts_w,
+                alpha=1.0,
+                max_seq_len=N,
+                num_buckets=self.relative_bias_num_buckets,
+                causal=True,
+            )
+        elif attn_kernel == "pallas":
             from generative_recommenders_tpu.ops.pallas.hstu_attention import (
                 hstu_mha_dense_pallas,
             )

@@ -185,3 +185,94 @@ def test_relbias_bf16_fwd_close():
 def test_relbias_supported_predicate():
     assert relbias_pallas_supported(4, 512, 64, 64, 2)
     assert not relbias_pallas_supported(16, 8192, 128, 128, 4)
+
+
+# ---------------------------------------------------------------------------
+# integration: the research encoder rides the rel-bias kernel
+
+
+def _encoder(attn_kernel, N):
+    from generative_recommenders_tpu.models.hstu import HSTUEncoder
+
+    return HSTUEncoder(
+        embedding_dim=16,
+        num_blocks=2,
+        num_heads=2,
+        attention_dim=8,
+        linear_dim=8,
+        linear_dropout_rate=0.0,
+        enable_relative_attention_bias=True,
+        attn_kernel=attn_kernel,
+        max_total_seq_len=N,
+    )
+
+
+def test_encoder_relbias_pallas_matches_xla():
+    """Same params, pallas(in-kernel bias) vs xla(materialized bias): valid
+    positions must agree through the full 2-block encoder, fwd and grad."""
+    B, N, D = 2, 211, 16
+    rng = np.random.default_rng(11)
+    x = jnp.array(rng.standard_normal((B, N, D)).astype(np.float32) * 0.3)
+    lengths = jnp.array([N, 150], jnp.int32)
+    steps = rng.integers(1, 90000, size=(B, N))
+    ts = jnp.array(1_600_000_000 + np.cumsum(steps, axis=1))
+
+    enc_x = _encoder("xla", N)
+    enc_p = _encoder("pallas", N)
+    params = enc_x.init(jax.random.PRNGKey(0), x, lengths, ts, True)
+
+    out_x = enc_x.apply(params, x, lengths, ts, True)
+    out_p = enc_p.apply(params, x, lengths, ts, True)
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(out_p[b, : lengths[b]]),
+            np.asarray(out_x[b, : lengths[b]]),
+            rtol=2e-4, atol=2e-4,
+        )
+
+    vmask = (jnp.arange(N)[None, :] < lengths[:, None])[..., None]
+
+    def loss(enc):
+        def f(p):
+            out = enc.apply(p, x, lengths, ts, True)
+            return jnp.sum(jnp.where(vmask, out, 0.0) ** 2)
+        return f
+
+    g_x = jax.grad(loss(enc_x))(params)
+    g_p = jax.grad(loss(enc_p))(params)
+    flat_x, _ = jax.tree_util.tree_flatten_with_path(g_x)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_p)
+    for (path, a), (_, b_) in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=5e-3, atol=5e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_encoder_relbias_pallas_no_bnn_in_hlo():
+    """The compiled train-style step must not contain any [B, N, N] tensor
+    when the in-kernel bias path is active (VERDICT round-2 #1 'Done'
+    criterion), while the XLA fallback does."""
+    B, N = 2, 256
+    rng = np.random.default_rng(13)
+    x = jnp.array(rng.standard_normal((B, N, 16)).astype(np.float32) * 0.3)
+    lengths = jnp.array([N, 200], jnp.int32)
+    ts = jnp.array(
+        1_600_000_000 + np.cumsum(rng.integers(1, 90000, (B, N)), axis=1)
+    )
+
+    def hlo_for(kernel):
+        enc = _encoder(kernel, N)
+        params = enc.init(jax.random.PRNGKey(0), x, lengths, ts, True)
+
+        def step(p):
+            out = enc.apply(p, x, lengths, ts, True)
+            return jnp.sum(out ** 2)
+
+        return jax.jit(jax.grad(step)).lower(params).compile().as_text()
+
+    marker = f"{B},{N},{N}"
+    hlo_p = hlo_for("pallas").replace(" ", "")
+    assert marker not in hlo_p, "[B,N,N] tensor found on the pallas path"
+    hlo_x = hlo_for("xla").replace(" ", "")
+    assert marker in hlo_x  # sanity: the fallback does materialize it
