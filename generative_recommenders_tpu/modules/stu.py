@@ -240,6 +240,7 @@ class STULayer(nn.Module):
             # silu normalizer must match the prefill forward's
             # (config constant, else cache capacity — not Nc+M headroom)
             norm_len=cfg.norm_seq_len or Nc,
+            kernel=cfg.attn_kernel,
         ).reshape(B, M, cfg.num_heads * cfg.hidden_dim)
         out = self._output(delta_attn, delta_u, delta_x, deterministic)
         return out, KVCache(k=full_k, v=full_v, lengths=full_lengths)

@@ -159,15 +159,39 @@ def delta_hstu_mha(
     max_attn_len: int = 0,
     contextual_seq_len: int = 0,
     norm_len: Optional[int] = None,
+    kernel: str = "xla",  # "xla" | "pallas" | "auto"
 ) -> jax.Array:
     """Delta-q attention over full K/V (`pt_hstu_attention.py:175-235`,
     `ops/hstu_attention.py:131`): the M delta queries sit at positions
     [length - M, length) of each row; mask rows are sliced accordingly.
     ``norm_len`` is the silu normalizer (the reference's ``max_seq_len``
     argument); it must match the one the full/prefill forward used —
-    defaults to the padded K length. Returns [B, M, H, V]."""
+    defaults to the padded K length. Returns [B, M, H, V].
+
+    ``kernel="pallas"`` routes to the resident-KV cached-decode kernel
+    (`ops/pallas/hstu_attention.py:delta_hstu_mha_pallas`, the Triton
+    `triton_cached_hstu_mha` twin) which walks only each row's live KV
+    chunks; "auto" picks it on TPU at N >= 512 when the geometry fits."""
     B, M, H, D = delta_q.shape
     N = k.shape[1]
+    if kernel != "xla":
+        from generative_recommenders_tpu.ops.pallas.hstu_attention import (
+            delta_hstu_mha_pallas,
+            delta_pallas_supported,
+        )
+
+        fits = delta_pallas_supported(H, N, D, v.shape[-1], k.dtype.itemsize)
+        use_pallas = fits if kernel == "pallas" else (
+            fits and N >= 512 and jax.devices()[0].platform == "tpu"
+        )
+        if use_pallas:
+            return delta_hstu_mha_pallas(
+                delta_q, k, v, seq_lengths,
+                alpha=alpha, num_targets=num_targets,
+                max_attn_len=max_attn_len,
+                contextual_seq_len=contextual_seq_len,
+                norm_len=norm_len,
+            )
     qk = jnp.einsum(
         "bmhd,bnhd->bhmn", delta_q, k, preferred_element_type=jnp.float32
     ) * alpha

@@ -873,3 +873,224 @@ def hstu_mha_dense_pallas(
     if N_pad:
         out = out[:, :N_orig]
     return out
+
+
+# ==================================================== delta-q (M-FALCON) ====
+#
+# Cached-decode kernel: the M newest queries of each row attend over the
+# full (cache + delta) K/V. TPU twin of the reference's dedicated cached
+# kernels — Triton `triton_cached_hstu_mha` / `_attn_fwd` with IS_DELTA_Q
+# (`ops/triton/triton_hstu_attention.py:2096-2170`) and the CUDA delta path
+# (`ops/cpp/hstu_attention/flash_api.cpp`) — consumed by
+# `modules/stu.py:cached_forward` (M-FALCON incremental scoring).
+#
+# Architecture: grid (B,) with K/V rows resident (the serving shapes fit —
+# uih+cands <= ~4k) and an in-kernel dynamic-bound loop over live KV chunks,
+# so each request only pays for its OWN cache length — the XLA fallback's
+# [B, H, M, N] einsum always pays the padded N.
+
+
+def _delta_block_mask(
+    row_raw: jax.Array,  # int32 [Mp, 1] — absolute query positions
+    col0: jax.Array,  # scalar int32
+    bk: int,
+    length: jax.Array,  # scalar int32 (full cache+delta length)
+    num_targets: jax.Array,  # scalar int32 (0 if unused)
+    m_valid: jax.Array,  # bool [Mp, 1] — padding-row guard
+    causal: bool,
+    max_attn_len: int,
+    contextual_seq_len: int,
+    min_full_attn_seq_len: int,
+) -> jax.Array:
+    """bool [Mp, bk] — `make_delta_attn_mask` semantics on a column tile
+    (`ops/attention_mask.py:93-135`)."""
+    Mp = row_raw.shape[0]
+    cols_raw = col0 + jax.lax.broadcasted_iota(jnp.int32, (Mp, bk), 1)
+    rows, cols = row_raw, cols_raw
+    max_ids = length
+    if contextual_seq_len > 0:
+        rows = jnp.maximum(rows - contextual_seq_len + 1, 0)
+        cols = jnp.maximum(cols - contextual_seq_len + 1, 0)
+        max_ids = max_ids - contextual_seq_len + 1
+    max_ids = max_ids - num_targets
+    rows = jnp.minimum(rows, max_ids)
+    cols = jnp.minimum(cols, max_ids)
+    dist = rows - cols
+    if not causal:
+        dist = jnp.abs(dist)
+    valid = jnp.logical_or(dist > 0, row_raw == cols_raw)
+    if max_attn_len > 0:
+        window = dist <= max_attn_len
+        if min_full_attn_seq_len > 0:
+            window = jnp.logical_or(
+                window, rows >= max_ids - min_full_attn_seq_len
+            )
+        valid = jnp.logical_and(valid, window)
+    if contextual_seq_len > 0:
+        valid = jnp.logical_or(
+            valid, jnp.logical_and(rows == 0, cols < max_ids)
+        )
+    return jnp.logical_and(valid, m_valid)
+
+
+def _delta_fwd_kernel_rkv(
+    lengths_ref,  # int32[B] — FULL lengths (cache + delta)
+    num_targets_ref,  # int32[B]
+    q_ref,  # [1, H, Mp, D]
+    k_ref,  # [1, H, N, D]  (full row resident)
+    v_ref,  # [1, H, N, V]
+    o_ref,  # [1, H, Mp, V]
+    acc_ref,  # scratch [H, Mp, V] f32
+    *,
+    M: int,  # true delta size (Mp >= M is the padded tile)
+    bk: int,
+    alpha: float,
+    inv_norm: float,
+    causal: bool,
+    max_attn_len: int,
+    contextual_seq_len: int,
+    min_full_attn_seq_len: int,
+):
+    b = pl.program_id(0)
+    H, Mp = q_ref.shape[1], q_ref.shape[2]
+    N = k_ref.shape[2]
+    length = lengths_ref[b]
+    num_targets = num_targets_ref[b]
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (Mp, 1), 0)
+    row_raw = jnp.clip(length - M + m_iota, 0, N - 1)
+    m_valid = m_iota < M
+
+    # every live column is < length (delta rows end at length-1; all mask
+    # escapes stay below length) — dead chunks cost nothing
+    n_live = pl.cdiv(length, bk)
+
+    def body(j, carry):
+        col0 = j * bk
+        mask = _delta_block_mask(
+            row_raw, col0, bk, length, num_targets, m_valid, causal,
+            max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+        )
+        for h in range(H):
+            kb = k_ref[0, h, pl.ds(col0, bk)]
+            vb = v_ref[0, h, pl.ds(col0, bk)]
+            s = jax.lax.dot_general(
+                q_ref[0, h], kb,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * alpha
+            p = jnp.where(mask, _silu(s) * inv_norm, 0.0)
+            acc_ref[h] += jax.lax.dot_general(
+                p.astype(vb.dtype), vb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return carry
+
+    jax.lax.fori_loop(0, n_live, body, 0, unroll=False)
+    o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "alpha", "norm_len", "delta_size", "causal", "max_attn_len",
+        "contextual_seq_len", "min_full_attn_seq_len", "block_k", "interpret",
+    ),
+)
+def _delta_fwd(
+    q, k, v, lengths, num_targets,
+    *, alpha, norm_len, delta_size, causal, max_attn_len,
+    contextual_seq_len, min_full_attn_seq_len, block_k, interpret,
+):
+    B, H, Mp, D = q.shape
+    N, V = k.shape[2], v.shape[-1]
+    bk = min(block_k, N)
+    while N % bk:
+        bk //= 2
+    kernel = functools.partial(
+        _delta_fwd_kernel_rkv,
+        M=delta_size, bk=bk, alpha=alpha, inv_norm=1.0 / norm_len,
+        causal=causal, max_attn_len=max_attn_len,
+        contextual_seq_len=contextual_seq_len,
+        min_full_attn_seq_len=min_full_attn_seq_len,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, Mp, D), lambda b, L, T: (b, 0, 0, 0)),
+                pl.BlockSpec((1, H, N, D), lambda b, L, T: (b, 0, 0, 0)),
+                pl.BlockSpec((1, H, N, V), lambda b, L, T: (b, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, H, Mp, V), lambda b, L, T: (b, 0, 0, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((H, Mp, V), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Mp, V), v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), num_targets.astype(jnp.int32), q, k, v)
+
+
+def delta_hstu_mha_pallas(
+    delta_q: jax.Array,  # [B, M, H, D]
+    k: jax.Array,  # [B, N, H, D] — full (cache + delta) keys, padded
+    v: jax.Array,  # [B, N, H, V]
+    seq_lengths: jax.Array,  # int[B] — full valid length per row
+    *,
+    alpha: float = 1.0,
+    num_targets: Optional[jax.Array] = None,
+    max_attn_len: int = 0,
+    contextual_seq_len: int = 0,
+    min_full_attn_seq_len: int = 0,
+    norm_len: Optional[int] = None,
+    block_k: int = 256,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Pallas twin of `ops/hstu_compute.py:delta_hstu_mha` (forward-only —
+    the M-FALCON serving path). Returns [B, M, H, V]."""
+    B, M, H, D = delta_q.shape
+    N, V = k.shape[1], v.shape[-1]
+    if norm_len is None:
+        norm_len = N
+    if interpret is None:
+        interpret = _interpret_default()
+    nt = (
+        jnp.zeros((B,), jnp.int32)
+        if num_targets is None
+        else num_targets.astype(jnp.int32)
+    )
+    N_orig, N_pad = N, (-N) % (128 if N >= 128 else 8)
+    if N_pad:
+        pad4 = ((0, 0), (0, N_pad), (0, 0), (0, 0))
+        k, v = jnp.pad(k, pad4), jnp.pad(v, pad4)
+        N += N_pad
+    Mp = _cdiv(M, 8) * 8
+    if Mp != M:
+        delta_q = jnp.pad(delta_q, ((0, 0), (0, Mp - M), (0, 0), (0, 0)))
+    qt = jnp.transpose(delta_q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    out = _delta_fwd(
+        qt, kt, vt, seq_lengths.astype(jnp.int32), nt,
+        alpha=alpha, norm_len=norm_len, delta_size=M, causal=True,
+        max_attn_len=max_attn_len, contextual_seq_len=contextual_seq_len,
+        min_full_attn_seq_len=min_full_attn_seq_len, block_k=block_k,
+        interpret=interpret,
+    )
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    return out[:, :M]
+
+
+def delta_pallas_supported(H: int, N: int, D: int, V: int, itemsize: int) -> bool:
+    """True when the resident-KV delta kernel fits VMEM."""
+    Np = N + ((-N) % 128)
+    return _use_resident(H, Np, D, V, itemsize)
