@@ -149,55 +149,19 @@ def main() -> None:
         logger.info("eval metrics: %s", {k: round(v, 5) for k, v in m.items()})
 
 
-_DEFAULT_DATA_FILES = {
-    # outputs of cli.preprocess_public_data / cli.preprocess_dlrm_data
-    "movielens-1m": "data/ml-1m/sasrec_format.csv",
-    "movielens-20m": "data/ml-20m/sasrec_format.csv",
-    "kuairand-1k": "data/KuaiRand-1K/data/processed_seqs.csv",
-}
-
-
 def _make_batches(args, hstu_cfg, num_batches=None):
-    """Real-dataset wiring (`dlrm_v3/train/utils.py:271-317` analogue):
-    --dataset selects the matching public dataset; debug keeps the random
-    fixture dataset."""
-    num_batches = num_batches or args.num_batches
-    if args.dataset == "debug":
-        from generative_recommenders_tpu.data.dlrm_dataset import (
-            DLRMv3RandomDataset,
-        )
+    """Real-dataset wiring (`dlrm_v3/train/utils.py:271-317` analogue) via
+    the shared factory (`data/dlrm_factory.py`)."""
+    from generative_recommenders_tpu.data.dlrm_factory import (
+        make_dlrm_batches,
+    )
 
-        ds = DLRMv3RandomDataset(
-            hstu_cfg, hash_size=args.hash_size, batch_size=args.batch_size
-        )
-        return ds.batches(num_batches)
-    data_file = args.data_file or _DEFAULT_DATA_FILES[args.dataset]
-    import os
-
-    if not os.path.exists(data_file):
-        raise FileNotFoundError(
-            f"{data_file} not found — run the preprocess CLI first "
-            "(cli.preprocess_public_data for movielens, "
-            "cli.preprocess_dlrm_data for kuairand) or pass --data_file"
-        )
-    if args.dataset in ("movielens-1m", "movielens-20m"):
-        from generative_recommenders_tpu.data.dlrm_public_datasets import (
-            DLRMv3MovieLensDataset,
-        )
-
-        ds = DLRMv3MovieLensDataset(hstu_cfg, ratings_file=data_file)
-    else:
-        from generative_recommenders_tpu.data.dlrm_public_datasets import (
-            DLRMv3KuaiRandDataset,
-        )
-
-        ds = DLRMv3KuaiRandDataset(
-            hstu_cfg,
-            seq_logs_file=data_file,
-            hash_sizes={"video_id": args.hash_size},
-        )
-    return ds.batches(
-        args.batch_size, num_batches=num_batches,
+    return make_dlrm_batches(
+        args.dataset, hstu_cfg,
+        data_file=args.data_file,
+        hash_size=args.hash_size,
+        batch_size=args.batch_size,
+        num_batches=num_batches or args.num_batches,
         shuffle=args.mode == "train",
     )
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 logger = logging.getLogger(__name__)
 
 
-def main() -> None:
+def main(argv=None) -> None:
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
@@ -68,14 +68,34 @@ def main() -> None:
     )
     p.add_argument("--no_quantize", action="store_true")
     p.add_argument("--attn_kernel", default=None, choices=["xla", "pallas"])
-    args = p.parse_args()
+    # real-dataset + trained-checkpoint serving
+    # (`dlrm_v3/inference/main.py:229-276`, `model_family.py:129,232`)
+    p.add_argument(
+        "--dataset", default="debug",
+        choices=["debug", "movielens-1m", "movielens-20m", "kuairand-1k"],
+        help="serve (and score accuracy) on a real preprocessed dataset "
+        "instead of the random fixture",
+    )
+    p.add_argument("--data_file", default=None)
+    p.add_argument(
+        "--ckpt_dir", default=None,
+        help="restore trained params from this Orbax checkpoint into the "
+        "model family (tables re-quantized from the restored values)",
+    )
+    p.add_argument("--num_qsl_batches", type=int, default=8)
+    # model-size overrides (0 = dataset-config default) — the reference
+    # overrides these via gin; needed so a served checkpoint's geometry can
+    # be reproduced exactly (and for fixture-scale e2e tests)
+    p.add_argument("--num_layers", type=int, default=0)
+    p.add_argument("--transducer_dim", type=int, default=0)
+    p.add_argument("--table_dim", type=int, default=0)
+    p.add_argument("--attn_dim", type=int, default=0)
+    p.add_argument("--num_heads", type=int, default=0)
+    args = p.parse_args(argv)
 
     from generative_recommenders_tpu.configs.dlrm import (
         get_embedding_table_config,
         get_hstu_configs,
-    )
-    from generative_recommenders_tpu.data.dlrm_dataset import (
-        DLRMv3RandomDataset,
     )
     from generative_recommenders_tpu.inference.data_producer import (
         MultiThreadDataProducer,
@@ -96,39 +116,66 @@ def main() -> None:
         "pallas" if jax.default_backend() == "tpu" else "xla"
     )
     cfg = get_hstu_configs(
-        "debug",
+        args.dataset if args.dataset != "debug" else "debug",
         max_uih_len=args.max_uih_len,
         max_num_candidates=args.max_num_candidates,
         attn_kernel=attn,
     )
-    if args.candidates_per_chunk:
-        import dataclasses as _dc
+    import dataclasses as _dc
 
+    if args.candidates_per_chunk:
         cfg = _dc.replace(
             cfg, max_num_candidates_inference=args.candidates_per_chunk
         )
+    overrides = {
+        "hstu_attn_num_layers": args.num_layers,
+        "hstu_transducer_embedding_dim": args.transducer_dim,
+        "hstu_embedding_table_dim": args.table_dim,
+        "hstu_attn_qk_dim": args.attn_dim,
+        "hstu_attn_linear_dim": args.attn_dim,
+        "hstu_num_heads": args.num_heads,
+    }
+    overrides = {k: v for k, v in overrides.items() if v}
+    if overrides:
+        cfg = _dc.replace(cfg, **overrides)
     tables = get_embedding_table_config(
-        "debug", hash_size=args.hash_size, dim=cfg.hstu_embedding_table_dim
+        args.dataset if args.dataset != "debug" else "debug",
+        hash_size=args.hash_size, dim=cfg.hstu_embedding_table_dim,
     )
     model = DlrmHSTU(cfg, tables)
-    ds = DLRMv3RandomDataset(
-        cfg, hash_size=args.hash_size, batch_size=args.batch_size, seed=0
-    )
-    uih, ul, cands, nc = ds.batch()
-    uih = {k: jnp.asarray(v) for k, v in uih.items()}
-    cands = {k: jnp.asarray(v) for k, v in cands.items()}
-    ul, nc = jnp.asarray(ul), jnp.asarray(nc)
-    params = model.init(jax.random.PRNGKey(0), uih, ul, cands, nc, True)
-    family = HSTUModelFamily(model, params, quantize=not args.no_quantize)
 
-    # fixed query set (QSL analogue); queries cycle through pre-made batches
+    # fixed query set (QSL analogue); queries cycle through pre-made batches.
+    # Real datasets route through the shared factory; partial tail batches
+    # are dropped (one executable per shape).
+    from generative_recommenders_tpu.data.dlrm_factory import (
+        make_dlrm_batches,
+    )
+
     samples = []
-    for raw in ds.batches(8):
+    for raw in make_dlrm_batches(
+        args.dataset, cfg, data_file=args.data_file,
+        hash_size=args.hash_size, batch_size=args.batch_size,
+        num_batches=args.num_qsl_batches,
+    ):
+        if raw[1].shape[0] != args.batch_size:
+            continue
         s_uih = {k: jnp.asarray(v) for k, v in raw[0].items()}
         s_cands = {k: jnp.asarray(v) for k, v in raw[2].items()}
         samples.append(
             (s_uih, jnp.asarray(raw[1]), s_cands, jnp.asarray(raw[3]))
         )
+    assert samples, "dataset produced no full batches at this batch_size"
+
+    uih, ul, cands, nc = samples[0]
+    params = model.init(jax.random.PRNGKey(0), uih, ul, cands, nc, True)
+    if args.ckpt_dir:
+        from generative_recommenders_tpu.utils.checkpoint import (
+            restore_checkpoint,
+        )
+
+        params = restore_checkpoint(args.ckpt_dir, params)
+        logger.info("restored trained params from %s", args.ckpt_dir)
+    family = HSTUModelFamily(model, params, quantize=not args.no_quantize)
 
     def predict(sample):
         s_uih, s_ul, s_cands, s_nc = sample
@@ -148,8 +195,7 @@ def main() -> None:
         predict(samples[i % len(samples)])
 
     if args.accuracy:
-        _run_accuracy(args, cfg, samples, predict)
-        return
+        return _run_accuracy(args, cfg, samples, predict)
 
     if args.data_producer_threads > 1:
         producer = MultiThreadDataProducer(
@@ -219,6 +265,7 @@ def main() -> None:
         {k: round(v, 3) for k, v in result.items()},
     )
     print(result)
+    return result
 
 
 def _run_accuracy(args, cfg, samples, predict) -> None:
@@ -275,6 +322,7 @@ def _run_accuracy(args, cfg, samples, predict) -> None:
         args.accuracy_log,
     )
     print({"accuracy": {k: round(v, 5) for k, v in m.items()}})
+    return m
 
 
 if __name__ == "__main__":

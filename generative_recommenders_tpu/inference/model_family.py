@@ -43,9 +43,17 @@ class HSTUModelFamily:
         model: DlrmHSTU,
         params: Any,
         quantize: bool = True,
+        mesh: Optional[Any] = None,
     ) -> None:
+        """``mesh``: serve data-parallel across a device mesh — params and
+        quantized tables replicated, every request batch sharded on dim 0,
+        one jitted step spanning all chips (the multi-chip serving topology;
+        the reference runs one worker process per GPU behind mp.Queue RPC,
+        `dlrm_v3/inference/model_family.py:181-357` — on TPU GSPMD turns the
+        same jitted step into the SPMD program)."""
         self.model = model
         self.cfg = model.cfg
+        self.mesh = mesh
         self._dense_params = params
         p = params["params"] if "params" in params else params
         self._feature_to_table: Dict[str, str] = {}
@@ -57,10 +65,29 @@ class HSTUModelFamily:
         for t in model.embedding_tables:
             w = p[f"embedding_tables_{t.name}"]
             self._tables[t.name] = quantize_table(w) if quantize else w
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self._dense_params = jax.device_put(self._dense_params, rep)
+            self._tables = jax.device_put(self._tables, rep)
+            self._batch_sharding = NamedSharding(
+                mesh, P(tuple(mesh.axis_names))
+            )
         self._sparse = jax.jit(self._sparse_impl)
         self._dense = jax.jit(self._dense_impl)
         self._prefill = jax.jit(self._prefill_impl)
         self._score_chunk = jax.jit(self._score_chunk_impl)
+
+    def shard_inputs(self, tree: Any) -> Any:
+        """Lays request batches out over the serving mesh (dim 0 sharded
+        across every mesh axis). No-op without a mesh."""
+        if self.mesh is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), self._batch_sharding),
+            tree,
+        )
 
     # ---------------------------------------------------------- sparse stage
     def _lookup(self, feature: str, ids: jax.Array) -> jax.Array:
@@ -102,7 +129,16 @@ class HSTUModelFamily:
     def predict(
         self, uih_features, uih_lengths, candidates_features, num_candidates
     ) -> jax.Array:
-        """sparse → dense (`model_family.py:88-108`). Returns [T, B, M]."""
+        """sparse → dense (`model_family.py:88-108`). Returns [T, B, M].
+        With a serving mesh, the batch is sharded on dim 0 and the whole
+        pipeline runs SPMD across the mesh."""
+        if self.mesh is not None:
+            uih_features, uih_lengths, candidates_features, num_candidates = (
+                self.shard_inputs(
+                    (uih_features, uih_lengths, candidates_features,
+                     num_candidates)
+                )
+            )
         seq_embeddings, payloads = self._sparse(
             uih_features, uih_lengths, candidates_features
         )
