@@ -810,8 +810,8 @@ def hstu_mha_dense_pallas(
     max_attn_len: int = 0,
     contextual_seq_len: int = 0,
     min_full_attn_seq_len: int = 0,
-    block_q: int = 256,
-    block_k: int = 0,  # 0 = auto (measured: 512 at N>=2048, else 256)
+    block_q: int = 0,  # 0 = auto (factory table / measured per-shape cache)
+    block_k: int = 0,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Drop-in Pallas twin of :func:`...xla.hstu_attention.hstu_mha_dense`
@@ -821,11 +821,11 @@ def hstu_mha_dense_pallas(
     V = v.shape[-1]
     if max_seq_len is None:
         max_seq_len = N
-    if block_k == 0:
-        # benchmarks/attn_tune.py on v5e: 256x512 wins at N>=2048 (fewer
-        # inner-loop iterations amortize per-chunk mask/sigmoid), 256x256
-        # below
-        block_k = 512 if N >= 2048 else 256
+    if block_q == 0 or block_k == 0:
+        from generative_recommenders_tpu.ops.pallas import autotune
+
+        abq, abk = autotune.get_blocks("mha", B, N, H, D, V, q.dtype)
+        block_q, block_k = block_q or abq, block_k or abk
     if interpret is None:
         interpret = _interpret_default()
     nt = (
@@ -1052,13 +1052,17 @@ def delta_hstu_mha_pallas(
     contextual_seq_len: int = 0,
     min_full_attn_seq_len: int = 0,
     norm_len: Optional[int] = None,
-    block_k: int = 256,
+    block_k: int = 0,  # 0 = auto (factory table / measured per-shape cache)
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Pallas twin of `ops/hstu_compute.py:delta_hstu_mha` (forward-only —
     the M-FALCON serving path). Returns [B, M, H, V]."""
     B, M, H, D = delta_q.shape
     N, V = k.shape[1], v.shape[-1]
+    if block_k == 0:
+        from generative_recommenders_tpu.ops.pallas import autotune
+
+        block_k = autotune.get_blocks("delta", B, N, H, D, V, k.dtype)[1]
     if norm_len is None:
         norm_len = N
     if interpret is None:

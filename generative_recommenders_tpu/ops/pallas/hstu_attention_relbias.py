@@ -501,8 +501,8 @@ def hstu_mha_dense_pallas_relbias(
     max_attn_len: int = 0,
     contextual_seq_len: int = 0,
     min_full_attn_seq_len: int = 0,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 0,  # 0 = auto (factory table / measured per-shape cache)
+    block_k: int = 0,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Flash HSTU attention with the relative position+time bias computed
@@ -515,6 +515,11 @@ def hstu_mha_dense_pallas_relbias(
     assert num_buckets <= 128, "ts bucket table must fit one gather row + 1"
     B, N, H, D = q.shape
     V = v.shape[-1]
+    if block_q == 0 or block_k == 0:
+        from generative_recommenders_tpu.ops.pallas import autotune
+
+        abq, abk = autotune.get_blocks("relbias", B, N, H, D, V, q.dtype)
+        block_q, block_k = block_q or abq, block_k or abk
     if max_seq_len is None:
         max_seq_len = N
     if interpret is None:
