@@ -46,8 +46,8 @@ def run_smoke() -> None:
         model=ModelConfig(
             num_items=200, max_sequence_len=32, gr_output_length=1,
             item_embedding_dim=32, num_blocks=2, num_heads=2, dqk=16, dv=16,
-            # pallas training path has no rel-bias backward (fused XLA
-            # handles the bias path); smoke exercises pallas w/o bias
+            # smoke exercises the bias-free pallas path on TPU (the
+            # in-kernel rel-bias path has its own differential suite)
             attn_kernel=(
                 "pallas" if jax.default_backend() == "tpu" else "xla"
             ),
@@ -73,6 +73,11 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default=None)
     p.add_argument("--data_csv", default=None)
+    p.add_argument(
+        "--multifile_prefix", default=None,
+        help="sharded fractal-expansion corpus prefix (e.g. "
+        "build/ml20mx4/2x2) — the ML-1B/3B MultiFile path",
+    )
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--save_ckpt_every_n", type=int, default=10)
     p.add_argument("--num_epochs", type=int, default=None)
@@ -156,7 +161,20 @@ def main() -> None:
         cfg = dataclasses.replace(cfg, **overrides)
 
     N = cfg.model.max_sequence_len
-    if args.data_csv:
+    if args.multifile_prefix:
+        # sharded fractal-expansion corpora (ML-1B/3B scale); reference
+        # `MultiFileDatasetV2` path (`research/data/dataset.py:194-249`)
+        from generative_recommenders_tpu.data.dataset import (
+            MultiFileSequenceDataset,
+        )
+
+        train_ds = MultiFileSequenceDataset(
+            args.multifile_prefix, max_sequence_length=N, ignore_last_n=1
+        )
+        eval_ds = MultiFileSequenceDataset(
+            args.multifile_prefix, max_sequence_length=N, ignore_last_n=0
+        )
+    elif args.data_csv:
         seqs = load_sasrec_format_csv(args.data_csv)
         # reference split: train ignores the last item, eval targets it
         # (`research/data/reco_dataset.py:39-178` chronological split)

@@ -43,6 +43,7 @@ research rel-bias training uses the XLA spec).  Forward supports an additive
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -70,11 +71,36 @@ def _block_mask(
     max_attn_len: int,
     contextual_seq_len: int,
     min_full_attn_seq_len: int,
+    has_targets: bool = True,
 ) -> jax.Array:
     """bool[bq, bk] — `_get_valid_attn_mask` semantics on a tile, AND'ed with
-    the dense-layout row/col < length guard."""
+    the dense-layout row/col < length guard.
+
+    ``has_targets=False`` (caller passed no num_targets and no contextual
+    block) takes a cheaper equivalent path: the target/contextual clamps
+    only change entries at rows/cols >= length, and those are killed by the
+    final guards anyway — so the clamped dist reduces to the raw iota diff.
+    """
     raw_rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
     raw_cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    if not has_targets and contextual_seq_len == 0:
+        if causal:
+            valid = raw_rows >= raw_cols
+        else:
+            valid = jnp.ones((bq, bk), jnp.bool_)
+        if max_attn_len > 0:
+            dist = raw_rows - raw_cols
+            if not causal:
+                dist = jnp.abs(dist)
+            window = dist <= max_attn_len
+            if min_full_attn_seq_len > 0:
+                window = jnp.logical_or(
+                    window, raw_rows >= length - min_full_attn_seq_len
+                )
+            valid = jnp.logical_and(valid, window)
+        valid = jnp.logical_and(valid, raw_cols < length)
+        valid = jnp.logical_and(valid, raw_rows < length)
+        return valid
     rows, cols = raw_rows, raw_cols
     max_ids = length
     if contextual_seq_len > 0:
@@ -139,6 +165,8 @@ def _fwd_kernel_rkv(
     contextual_seq_len: int,
     min_full_attn_seq_len: int,
     has_bias: bool,
+    has_targets: bool = True,
+    ablate: tuple = (),
 ):
     if has_bias:
         bias_ref, o_ref, acc_ref = rest
@@ -163,10 +191,14 @@ def _fwd_kernel_rkv(
 
         def body(j, carry):
             col0 = j * bk
-            mask = _block_mask(
-                row0, col0, bq, bk, length, num_targets, causal,
-                max_attn_len, contextual_seq_len, min_full_attn_seq_len,
-            )
+            if "nomask" in ablate:
+                mask = None
+            else:
+                mask = _block_mask(
+                    row0, col0, bq, bk, length, num_targets, causal,
+                    max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+                    has_targets=has_targets,
+                )
             if bias_ref is not None:
                 bias = bias_ref[0, :, pl.ds(col0, bk)].astype(jnp.float32)
             else:
@@ -181,7 +213,11 @@ def _fwd_kernel_rkv(
                 ) * alpha
                 if bias is not None:
                     s = s + bias
-                p = jnp.where(mask, _silu(s) * inv_norm, 0.0)
+                act = s if "nosig" in ablate else _silu(s)
+                if mask is None or "nowhere" in ablate:
+                    p = act * inv_norm
+                else:
+                    p = jnp.where(mask, act * inv_norm, 0.0)
                 acc_ref[h] += jax.lax.dot_general(
                     p.astype(vb.dtype), vb,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -201,6 +237,7 @@ def _bwd_fused_kernel_rkv(
     dq_acc, dk_acc, dv_acc,
     *, bq, bk, n_kv, alpha, inv_norm, causal,
     max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+    has_targets=True, ablate=(),
 ):
     """One fused backward pass: grid (B, n_kv); for each kv tile j the inner
     dynamic loop walks the live q blocks, recomputing S/sigmoid ONCE and
@@ -231,10 +268,20 @@ def _bwd_fused_kernel_rkv(
 
         def body(i, carry):
             row0 = i * bq
-            mask = _block_mask(
-                row0, col0, bq, bk, length, num_targets, causal,
-                max_attn_len, contextual_seq_len, min_full_attn_seq_len,
-            )
+            if "nomask" in ablate:
+                mask = None
+            else:
+                mask = _block_mask(
+                    row0, col0, bq, bk, length, num_targets, causal,
+                    max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+                    has_targets=has_targets,
+                )
+
+            def mwhere(x):
+                if mask is None or "nowhere" in ablate:
+                    return x
+                return jnp.where(mask, x, 0.0)
+
             for h in range(H):
                 qb = q_ref[0, h, pl.ds(row0, bq)]
                 dob = do_ref[0, h, pl.ds(row0, bq)]
@@ -242,8 +289,11 @@ def _bwd_fused_kernel_rkv(
                     qb, k_ref[0, h], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) * alpha
-                sig = jax.nn.sigmoid(s)  # shared by p and dsilu
-                p = jnp.where(mask, s * sig * inv_norm, 0.0)
+                if "nosig" in ablate:
+                    sig = 1.0
+                else:
+                    sig = jax.nn.sigmoid(s)  # shared by p and dsilu
+                p = mwhere(s * sig * inv_norm)
                 dv_acc[h] += jax.lax.dot_general(
                     p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -253,7 +303,7 @@ def _bwd_fused_kernel_rkv(
                     preferred_element_type=jnp.float32,
                 )
                 dsilu = sig * (1.0 + s * (1.0 - sig))
-                ds = jnp.where(mask, dp * inv_norm * dsilu, 0.0)
+                ds = mwhere(dp * inv_norm * dsilu)
                 ds16 = ds.astype(qb.dtype)
                 dk_acc[h] += alpha * jax.lax.dot_general(
                     ds16, qb, (((0,), (0,)), ((), ())),
@@ -321,6 +371,8 @@ def _fwd_kernel(
     contextual_seq_len: int,
     min_full_attn_seq_len: int,
     has_bias: bool,
+    has_targets: bool = True,
+    ablate: tuple = (),
 ):
     if has_bias:
         bias_ref, o_ref, acc_ref = rest
@@ -349,6 +401,7 @@ def _fwd_kernel(
         mask = _block_mask(
             row0, col0, bq, bk, length, num_targets, causal,
             max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+            has_targets=has_targets,
         )
         bias = (
             bias_ref[0].astype(jnp.float32) if bias_ref is not None else None
@@ -389,6 +442,7 @@ def _clamped_kv_index(b, iq, j, lengths_ref, *, bq, bk, causal, contextual):
     static_argnames=(
         "alpha", "max_seq_len", "causal", "max_attn_len", "contextual_seq_len",
         "min_full_attn_seq_len", "block_q", "block_k", "interpret",
+        "has_targets", "ablate",
     ),
 )
 def _hstu_mha_fwd(
@@ -408,6 +462,8 @@ def _hstu_mha_fwd(
     block_q: int,
     block_k: int,
     interpret: bool,
+    has_targets: bool = True,
+    ablate: tuple = (),
 ) -> jax.Array:
     B, H, N, D = q.shape
     V = v.shape[-1]
@@ -432,6 +488,7 @@ def _hstu_mha_fwd(
             contextual_seq_len=contextual_seq_len,
             min_full_attn_seq_len=min_full_attn_seq_len,
             has_bias=bias is not None,
+            has_targets=has_targets, ablate=ablate,
         )
         return pl.pallas_call(
             kernel,
@@ -491,6 +548,7 @@ def _hstu_mha_fwd(
         contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len,
         has_bias=bias is not None,
+        has_targets=has_targets, ablate=ablate,
     )
     flops = 2 * B * H * N * N * (D + V)  # upper bound (pre-skip)
     return pl.pallas_call(
@@ -517,6 +575,7 @@ def _bwd_dq_kernel(
     dq_ref, acc_ref,
     *, bq, bk, n_kv, alpha, inv_norm, causal,
     max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+    has_targets=True, ablate=(),
 ):
     b, iq, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     H = q_ref.shape[1]
@@ -538,6 +597,7 @@ def _bwd_dq_kernel(
         mask = _block_mask(
             row0, col0, bq, bk, length, num_targets, causal,
             max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+            has_targets=has_targets,
         )
         for h in range(H):
             s = jax.lax.dot_general(
@@ -565,6 +625,7 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref, dk_acc, dv_acc,
     *, bq, bk, n_q, alpha, inv_norm, causal,
     max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+    has_targets=True, ablate=(),
 ):
     b, j, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     H = q_ref.shape[1]
@@ -587,6 +648,7 @@ def _bwd_dkv_kernel(
         mask = _block_mask(
             row0, col0, bq, bk, length, num_targets, causal,
             max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+            has_targets=has_targets,
         )
         for h in range(H):
             s = jax.lax.dot_general(
@@ -623,12 +685,14 @@ def _bwd_dkv_kernel(
     static_argnames=(
         "alpha", "max_seq_len", "causal", "max_attn_len", "contextual_seq_len",
         "min_full_attn_seq_len", "block_q", "block_k", "interpret",
+        "has_targets", "ablate",
     ),
 )
 def _hstu_mha_bwd(
     q, k, v, lengths, num_targets, do,
     *, alpha, max_seq_len, causal, max_attn_len, contextual_seq_len,
     min_full_attn_seq_len, block_q, block_k, interpret,
+    has_targets=True, ablate=(),
 ):
     B, H, N, D = q.shape
     V = v.shape[-1]
@@ -638,6 +702,7 @@ def _hstu_mha_bwd(
         alpha=alpha, inv_norm=1.0 / max_seq_len, causal=causal,
         max_attn_len=max_attn_len, contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len,
+        has_targets=has_targets, ablate=ablate,
     )
     if _use_resident_bwd(H, N, D, V, q.dtype.itemsize):
         dq, dk, dv = pl.pallas_call(
@@ -757,12 +822,13 @@ def _hstu_mha_bwd(
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13),
+    nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
 )
 def _hstu_mha_pallas_core(
     q, k, v, lengths, num_targets,
     alpha, max_seq_len, causal, max_attn_len, contextual_seq_len,
     min_full_attn_seq_len, block_q, block_k, interpret,
+    has_targets, ablate,
 ):
     return _hstu_mha_fwd(
         q, k, v, lengths, num_targets, None,
@@ -770,6 +836,7 @@ def _hstu_mha_pallas_core(
         max_attn_len=max_attn_len, contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len,
         block_q=block_q, block_k=block_k, interpret=interpret,
+        has_targets=has_targets, ablate=ablate,
     )
 
 
@@ -780,7 +847,8 @@ def _core_fwd(q, k, v, lengths, num_targets, *static):
 
 def _core_bwd(
     alpha, max_seq_len, causal, max_attn_len, contextual_seq_len,
-    min_full_attn_seq_len, block_q, block_k, interpret, residuals, do,
+    min_full_attn_seq_len, block_q, block_k, interpret,
+    has_targets, ablate, residuals, do,
 ):
     q, k, v, lengths, num_targets = residuals
     dq, dk, dv = _hstu_mha_bwd(
@@ -789,6 +857,7 @@ def _core_bwd(
         max_attn_len=max_attn_len, contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len,
         block_q=block_q, block_k=block_k, interpret=interpret,
+        has_targets=has_targets, ablate=ablate,
     )
     return dq, dk, dv, None, None
 
@@ -855,6 +924,18 @@ def hstu_mha_dense_pallas(
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
+    # no num_targets and no contextual block => the kernels build the cheap
+    # raw-iota mask (see _block_mask has_targets=False)
+    has_targets = num_targets is not None
+    # measurement-only hook (benchmarks/kernel_ablate.py): comma-separated
+    # {nosig, nomask, nowhere} — results are WRONG when set
+    ablate = tuple(
+        sorted(
+            t
+            for t in os.environ.get("GR_TPU_KERNEL_ABLATE", "").split(",")
+            if t
+        )
+    )
     if bias is not None:
         out = _hstu_mha_fwd(
             qt, kt, vt, lengths.astype(jnp.int32), nt, bias,
@@ -862,12 +943,14 @@ def hstu_mha_dense_pallas(
             max_attn_len=max_attn_len, contextual_seq_len=contextual_seq_len,
             min_full_attn_seq_len=min_full_attn_seq_len,
             block_q=block_q, block_k=block_k, interpret=interpret,
+            has_targets=has_targets, ablate=ablate,
         )
     else:
         out = _hstu_mha_pallas_core(
             qt, kt, vt, lengths.astype(jnp.int32), nt,
             alpha, max_seq_len, causal, max_attn_len, contextual_seq_len,
             min_full_attn_seq_len, block_q, block_k, interpret,
+            has_targets, ablate,
         )
     out = jnp.transpose(out, (0, 2, 1, 3))
     if N_pad:
