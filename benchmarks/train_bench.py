@@ -21,7 +21,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -80,10 +84,26 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--num_items", type=int, default=131262)
+    p.add_argument(
+        "--seq_len", type=int, default=0,
+        help="override max_sequence_len (0 = preset's 200); the in-kernel "
+        "rel-bias story is about N >= 512",
+    )
+    p.add_argument(
+        "--variants", default="parity,production",
+        help="comma list of {parity, production, relbias} variant groups",
+    )
     args = p.parse_args()
 
     base = RESEARCH_PRESETS["ml-20m/hstu-sampled-softmax-n128-large"]
     base = dataclasses.replace(base, local_batch_size=args.batch_size)
+    if args.seq_len:
+        base = dataclasses.replace(
+            base,
+            model=dataclasses.replace(
+                base.model, max_sequence_len=args.seq_len
+            ),
+        )
     B, N = args.batch_size, base.model.total_seq_len
     rng = np.random.default_rng(0)
     Nh = base.model.max_sequence_len
@@ -101,18 +121,36 @@ def main() -> None:
         "target_timestamps": jnp.asarray(ts.max(axis=1) + 1),
     }
 
+    groups = {
+        "parity": [("parity_xla_bias_f32", {})],
+        "production": [
+            (
+                "production_pallas_bf16",
+                {
+                    "attn_kernel": "pallas",
+                    "enable_relative_attention_bias": False,
+                    "compute_dtype": "bfloat16",
+                },
+            ),
+        ],
+        # the VERDICT item-1 comparison: the same bias-enabled preset on the
+        # in-kernel rel-bias Pallas path vs the [B,N,N]-materializing XLA
+        # fallback, at matched dtype
+        "relbias": [
+            (
+                "relbias_pallas_bf16",
+                {"attn_kernel": "pallas", "compute_dtype": "bfloat16"},
+            ),
+            (
+                "relbias_xla_bf16",
+                {"attn_kernel": "xla", "compute_dtype": "bfloat16"},
+            ),
+        ],
+    }
+    wanted = [g for g in args.variants.split(",") if g]
+    variants = [v for g in wanted for v in groups[g]]
     results = {}
-    for name, model_over in (
-        ("parity_xla_bias_f32", {}),
-        (
-            "production_pallas_bf16",
-            {
-                "attn_kernel": "pallas",
-                "enable_relative_attention_bias": False,
-                "compute_dtype": "bfloat16",
-            },
-        ),
-    ):
+    for name, model_over in variants:
         cfg = dataclasses.replace(
             base,
             model=dataclasses.replace(
