@@ -128,12 +128,21 @@ def _block_mask(
     return valid
 
 
-def _silu(x: jax.Array) -> jax.Array:
-    return x * jax.nn.sigmoid(x)
+def _sigmoid(x: jax.Array, variant: str = "") -> jax.Array:
+    """jax.nn.sigmoid or the tanh form 0.5*(tanh(x/2)+1) — mathematically
+    identical; Mosaic lowers them differently (``tanh`` is one VPU
+    transcendental vs the logistic's exp+reciprocal chain)."""
+    if variant == "tanh":
+        return 0.5 * (jnp.tanh(0.5 * x) + 1.0)
+    return jax.nn.sigmoid(x)
 
 
-def _dsilu(x: jax.Array) -> jax.Array:
-    s = jax.nn.sigmoid(x)
+def _silu(x: jax.Array, variant: str = "") -> jax.Array:
+    return x * _sigmoid(x, variant)
+
+
+def _dsilu(x: jax.Array, variant: str = "") -> jax.Array:
+    s = _sigmoid(x, variant)
     return s * (1.0 + x * (1.0 - s))
 
 
@@ -213,7 +222,7 @@ def _fwd_kernel_rkv(
                 ) * alpha
                 if bias is not None:
                     s = s + bias
-                act = s if "nosig" in ablate else _silu(s)
+                act = s if "nosig" in ablate else _silu(s, "tanh" if "tanh" in ablate else "")
                 if mask is None or "nowhere" in ablate:
                     p = act * inv_norm
                 else:
@@ -292,7 +301,7 @@ def _bwd_fused_kernel_rkv(
                 if "nosig" in ablate:
                     sig = 1.0
                 else:
-                    sig = jax.nn.sigmoid(s)  # shared by p and dsilu
+                    sig = _sigmoid(s, "tanh" if "tanh" in ablate else "")  # shared by p and dsilu
                 p = mwhere(s * sig * inv_norm)
                 dv_acc[h] += jax.lax.dot_general(
                     p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
