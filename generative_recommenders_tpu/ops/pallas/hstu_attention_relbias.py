@@ -178,6 +178,7 @@ def _fwd_kernel_relbias(
     max_attn_len: int,
     contextual_seq_len: int,
     min_full_attn_seq_len: int,
+    has_targets: bool = True,
 ):
     b, iq = pl.program_id(0), pl.program_id(1)
     H = q_ref.shape[1]
@@ -202,6 +203,7 @@ def _fwd_kernel_relbias(
             mask = _block_mask(
                 row0, col0, bq, bk, length, num_targets, causal,
                 max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+                has_targets=has_targets,
             )
             ts_row = tsc_ref[:, pl.ds(col0, bk)]  # [1, bk]
             bucket = _ts_bucket_tile(tsq_col, ts_row, num_buckets)
@@ -286,7 +288,7 @@ def _bwd_kernel_relbias(
     dq_acc, dk_acc, dv_acc, dpos_acc, dts_acc,
     *, bq, bk, n_kv, n_b, alpha, inv_norm, pos_table_len, num_buckets,
     pos_guard, causal, max_attn_len, contextual_seq_len,
-    min_full_attn_seq_len,
+    min_full_attn_seq_len, has_targets=True,
 ):
     """Fused backward with bias-table gradients: grid (B, n_kv); per kv tile
     j the inner dynamic loop walks live q blocks, recomputing S (with bias)
@@ -328,6 +330,7 @@ def _bwd_kernel_relbias(
             mask = _block_mask(
                 row0, col0, bq, bk, length, num_targets, causal,
                 max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+                has_targets=has_targets,
             )
             tsq_col = tsq_ref[0, pl.ds(row0, bq), :]  # [bq, 1]
             bucket = _ts_bucket_tile(tsq_col, ts_row, num_buckets)
@@ -408,13 +411,14 @@ def _bwd_kernel_relbias(
     static_argnames=(
         "alpha", "max_seq_len", "pos_table_len", "num_buckets", "causal",
         "max_attn_len", "contextual_seq_len", "min_full_attn_seq_len",
-        "block_q", "block_k", "interpret",
+        "block_q", "block_k", "interpret", "has_targets",
     ),
 )
 def _relbias_bwd(
     q, k, v, lengths, num_targets, tsq, tsc, pos_rows, ts_w2, do,
     *, alpha, max_seq_len, pos_table_len, num_buckets, causal, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, block_q, block_k, interpret,
+    has_targets=True,
 ):
     B, H, N, D = q.shape
     V = v.shape[-1]
@@ -432,6 +436,7 @@ def _relbias_bwd(
         num_buckets=num_buckets, pos_guard=guard, causal=causal,
         max_attn_len=max_attn_len, contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len,
+        has_targets=has_targets,
     )
     dq, dk, dv, dpos, dts = pl.pallas_call(
         kernel,
@@ -570,6 +575,7 @@ def hstu_mha_dense_pallas_relbias(
     statics = (
         alpha, max_seq_len, table_len, num_buckets, causal, max_attn_len,
         contextual_seq_len, min_full_attn_seq_len, bq, bk, interpret,
+        num_targets is not None,
     )
     out = _relbias_call(
         qt, kt, vt, pos_rows, ts_w2, tsq, ts,
@@ -581,16 +587,18 @@ def hstu_mha_dense_pallas_relbias(
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(9, 20)))
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(9, 21)))
 def _relbias_call(
     qt, kt, vt, pos_rows, ts_w2, tsq, tsc, lengths, nt,
     alpha, max_seq_len, pos_table_len, num_buckets, causal, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, bq, bk, interpret,
+    has_targets=True,
 ):
     return _relbias_fwd_entry(
         qt, kt, vt, pos_rows, ts_w2, tsq, tsc, lengths, nt,
         alpha, max_seq_len, pos_table_len, num_buckets, causal, max_attn_len,
         contextual_seq_len, min_full_attn_seq_len, bq, bk, interpret,
+        has_targets,
     )
 
 
@@ -598,6 +606,7 @@ def _relbias_fwd_entry(
     qt, kt, vt, pos_rows, ts_w2, tsq, tsc, lengths, nt,
     alpha, max_seq_len, pos_table_len, num_buckets, causal, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, bq, bk, interpret,
+    has_targets=True,
 ):
     kernel = functools.partial(
         _fwd_kernel_relbias,
@@ -606,6 +615,7 @@ def _relbias_fwd_entry(
         causal=causal, max_attn_len=max_attn_len,
         contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len,
+        has_targets=has_targets,
     )
     B, H, N, D = qt.shape
     V = vt.shape[-1]
@@ -651,7 +661,7 @@ def _relbias_vjp_fwd(
 def _relbias_vjp_bwd(
     alpha, max_seq_len, pos_table_len, num_buckets, causal, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, bq, bk, interpret,
-    residuals, do,
+    has_targets, residuals, do,
 ):
     (qt, kt, vt, pos_rows, ts_w2, tsq, tsc, lengths, nt) = residuals
     dq, dk, dv, dpos, dts = _relbias_bwd(
@@ -661,6 +671,7 @@ def _relbias_vjp_bwd(
         contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len,
         block_q=bq, block_k=bk, interpret=interpret,
+        has_targets=has_targets,
     )
     dpos_rows = dpos.reshape(pos_rows.shape)
     dts_w2 = dts[:, :256].reshape(2, 128)
