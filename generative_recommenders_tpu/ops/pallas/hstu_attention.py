@@ -993,11 +993,26 @@ def _delta_block_mask(
     max_attn_len: int,
     contextual_seq_len: int,
     min_full_attn_seq_len: int,
+    has_targets: bool = True,
 ) -> jax.Array:
     """bool [Mp, bk] — `make_delta_attn_mask` semantics on a column tile
-    (`ops/attention_mask.py:93-135`)."""
+    (`ops/attention_mask.py:93-135`).
+
+    ``has_targets=False`` + causal + no contextual block: delta rows all sit
+    below ``length``, so causal alone keeps every column < length — the mask
+    reduces to one compare (plus the window/padding guards)."""
     Mp = row_raw.shape[0]
     cols_raw = col0 + jax.lax.broadcasted_iota(jnp.int32, (Mp, bk), 1)
+    if has_targets is False and contextual_seq_len == 0 and causal:
+        valid = row_raw >= cols_raw
+        if max_attn_len > 0:
+            window = row_raw - cols_raw <= max_attn_len
+            if min_full_attn_seq_len > 0:
+                window = jnp.logical_or(
+                    window, row_raw >= length - min_full_attn_seq_len
+                )
+            valid = jnp.logical_and(valid, window)
+        return jnp.logical_and(valid, m_valid)
     rows, cols = row_raw, cols_raw
     max_ids = length
     if contextual_seq_len > 0:
@@ -1042,6 +1057,7 @@ def _delta_fwd_kernel_rkv(
     max_attn_len: int,
     contextual_seq_len: int,
     min_full_attn_seq_len: int,
+    has_targets: bool = True,
 ):
     b = pl.program_id(0)
     H, Mp = q_ref.shape[1], q_ref.shape[2]
@@ -1064,6 +1080,7 @@ def _delta_fwd_kernel_rkv(
         mask = _delta_block_mask(
             row_raw, col0, bk, length, num_targets, m_valid, causal,
             max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+            has_targets=has_targets,
         )
         for h in range(H):
             kb = k_ref[0, h, pl.ds(col0, bk)]
@@ -1090,12 +1107,14 @@ def _delta_fwd_kernel_rkv(
     static_argnames=(
         "alpha", "norm_len", "delta_size", "causal", "max_attn_len",
         "contextual_seq_len", "min_full_attn_seq_len", "block_k", "interpret",
+        "has_targets",
     ),
 )
 def _delta_fwd(
     q, k, v, lengths, num_targets,
     *, alpha, norm_len, delta_size, causal, max_attn_len,
     contextual_seq_len, min_full_attn_seq_len, block_k, interpret,
+    has_targets=True,
 ):
     B, H, Mp, D = q.shape
     N, V = k.shape[2], v.shape[-1]
@@ -1108,6 +1127,7 @@ def _delta_fwd(
         causal=causal, max_attn_len=max_attn_len,
         contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len,
+        has_targets=has_targets,
     )
     return pl.pallas_call(
         kernel,
@@ -1180,7 +1200,7 @@ def delta_hstu_mha_pallas(
         alpha=alpha, norm_len=norm_len, delta_size=M, causal=True,
         max_attn_len=max_attn_len, contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len, block_k=block_k,
-        interpret=interpret,
+        interpret=interpret, has_targets=num_targets is not None,
     )
     out = jnp.transpose(out, (0, 2, 1, 3))
     return out[:, :M]
