@@ -22,6 +22,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Tests must be deterministic and fast: never trigger the one-time on-device
+# block sweep from inside the suite (each unseen shape bucket would add
+# minutes of relay compiles); lookups still resolve factory/cached entries.
+os.environ.setdefault("GR_TPU_ATTN_AUTOTUNE", "off")
 
 import jax  # noqa: E402
 
