@@ -70,6 +70,7 @@ def main() -> None:
     results = []
     for uih in args.uih:
         for M in args.m:
+          try:
             cfg = get_hstu_configs(
                 "debug", max_uih_len=uih, max_num_candidates=M,
                 attn_kernel=attn,
@@ -143,6 +144,13 @@ def main() -> None:
                     }
                     results.append(row)
                     print(json.dumps(row), flush=True)
+          except Exception as e:  # keep sweeping the remaining shapes
+            print(
+                json.dumps(
+                    {"uih": uih, "M": M, "error": str(e)[:200]}
+                ),
+                flush=True,
+            )
     if args.out:
         with open(args.out, "w") as f:
             for r in results:
