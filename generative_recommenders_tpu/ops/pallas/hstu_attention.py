@@ -222,6 +222,8 @@ def _fwd_kernel_rkv(
                 ) * alpha
                 if bias is not None:
                     s = s + bias
+                if "bf16act" in ablate:
+                    s = s.astype(jnp.bfloat16)
                 act = s if "nosig" in ablate else _silu(s, "tanh" if "tanh" in ablate else "")
                 if mask is None or "nowhere" in ablate:
                     p = act * inv_norm
@@ -298,6 +300,8 @@ def _bwd_fused_kernel_rkv(
                     qb, k_ref[0, h], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) * alpha
+                if "bf16act" in ablate:
+                    s = s.astype(jnp.bfloat16)
                 if "nosig" in ablate:
                     sig = 1.0
                 else:
