@@ -200,40 +200,69 @@ def _fwd_kernel_rkv(
 
         def body(j, carry):
             col0 = j * bk
-            if "nomask" in ablate:
-                mask = None
-            else:
-                mask = _block_mask(
-                    row0, col0, bq, bk, length, num_targets, causal,
-                    max_attn_len, contextual_seq_len, min_full_attn_seq_len,
-                    has_targets=has_targets,
-                )
             if bias_ref is not None:
                 bias = bias_ref[0, :, pl.ds(col0, bk)].astype(jnp.float32)
             else:
                 bias = None
-            for h in range(H):
-                kb = k_ref[0, h, pl.ds(col0, bk)]
-                vb = v_ref[0, h, pl.ds(col0, bk)]
-                s = jax.lax.dot_general(
-                    q_ref[0, h], kb,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * alpha
-                if bias is not None:
-                    s = s + bias
-                if "bf16act" in ablate:
-                    s = s.astype(jnp.bfloat16)
-                act = s if "nosig" in ablate else _silu(s, "tanh" if "tanh" in ablate else "")
-                if mask is None or "nowhere" in ablate:
-                    p = act * inv_norm
-                else:
-                    p = jnp.where(mask, act * inv_norm, 0.0)
-                acc_ref[h] += jax.lax.dot_general(
-                    p.astype(vb.dtype), vb,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+
+            def tile(mask):
+                for h in range(H):
+                    kb = k_ref[0, h, pl.ds(col0, bk)]
+                    vb = v_ref[0, h, pl.ds(col0, bk)]
+                    s = jax.lax.dot_general(
+                        q_ref[0, h], kb,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * alpha
+                    if bias is not None:
+                        s = s + bias
+                    if "bf16act" in ablate:
+                        s = s.astype(jnp.bfloat16)
+                    act = (
+                        s if "nosig" in ablate
+                        else _silu(s, "tanh" if "tanh" in ablate else "")
+                    )
+                    if mask is None or "nowhere" in ablate:
+                        p = act * inv_norm
+                    else:
+                        p = jnp.where(mask, act * inv_norm, 0.0)
+                    acc_ref[h] += jax.lax.dot_general(
+                        p.astype(vb.dtype), vb,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+            def built_mask():
+                return _block_mask(
+                    row0, col0, bq, bk, length, num_targets, causal,
+                    max_attn_len, contextual_seq_len, min_full_attn_seq_len,
+                    has_targets=has_targets,
                 )
+
+            if "nomask" in ablate:
+                tile(None)
+            elif (
+                "interior" in ablate and causal and not has_targets
+                and max_attn_len == 0 and contextual_seq_len == 0
+            ):
+                # fully-live tile: every row >= every col and both below
+                # length — skip mask construction AND the selects
+                full_live = jnp.logical_and(
+                    row0 >= col0 + bk - 1,
+                    jnp.logical_and(
+                        row0 + bq <= length, col0 + bk <= length
+                    ),
+                )
+
+                @pl.when(full_live)
+                def _fast():
+                    tile(None)
+
+                @pl.when(jnp.logical_not(full_live))
+                def _slow():
+                    tile(built_mask())
+            else:
+                tile(built_mask())
             return carry
 
         jax.lax.fori_loop(0, n_live, body, 0, unroll=False)
@@ -279,53 +308,76 @@ def _bwd_fused_kernel_rkv(
 
         def body(i, carry):
             row0 = i * bq
-            if "nomask" in ablate:
-                mask = None
-            else:
-                mask = _block_mask(
+
+            def tile(mask):
+                def mwhere(x):
+                    if mask is None or "nowhere" in ablate:
+                        return x
+                    return jnp.where(mask, x, 0.0)
+
+                for h in range(H):
+                    qb = q_ref[0, h, pl.ds(row0, bq)]
+                    dob = do_ref[0, h, pl.ds(row0, bq)]
+                    s = jax.lax.dot_general(
+                        qb, k_ref[0, h], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * alpha
+                    if "bf16act" in ablate:
+                        s = s.astype(jnp.bfloat16)
+                    if "nosig" in ablate:
+                        sig = 1.0
+                    else:
+                        sig = _sigmoid(s, "tanh" if "tanh" in ablate else "")  # shared by p and dsilu
+                    p = mwhere(s * sig * inv_norm)
+                    dv_acc[h] += jax.lax.dot_general(
+                        p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dp = jax.lax.dot_general(
+                        dob, v_ref[0, h], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dsilu = sig * (1.0 + s * (1.0 - sig))
+                    ds = mwhere(dp * inv_norm * dsilu)
+                    ds16 = ds.astype(qb.dtype)
+                    dk_acc[h] += alpha * jax.lax.dot_general(
+                        ds16, qb, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dq_acc[h, pl.ds(row0, bq)] += alpha * jax.lax.dot_general(
+                        ds16, k_ref[0, h], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+            def built_mask():
+                return _block_mask(
                     row0, col0, bq, bk, length, num_targets, causal,
                     max_attn_len, contextual_seq_len, min_full_attn_seq_len,
                     has_targets=has_targets,
                 )
 
-            def mwhere(x):
-                if mask is None or "nowhere" in ablate:
-                    return x
-                return jnp.where(mask, x, 0.0)
+            if "nomask" in ablate:
+                tile(None)
+            elif (
+                "interior" in ablate and causal and not has_targets
+                and max_attn_len == 0 and contextual_seq_len == 0
+            ):
+                full_live = jnp.logical_and(
+                    row0 >= col0 + bk - 1,
+                    jnp.logical_and(
+                        row0 + bq <= length, col0 + bk <= length
+                    ),
+                )
 
-            for h in range(H):
-                qb = q_ref[0, h, pl.ds(row0, bq)]
-                dob = do_ref[0, h, pl.ds(row0, bq)]
-                s = jax.lax.dot_general(
-                    qb, k_ref[0, h], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * alpha
-                if "bf16act" in ablate:
-                    s = s.astype(jnp.bfloat16)
-                if "nosig" in ablate:
-                    sig = 1.0
-                else:
-                    sig = _sigmoid(s, "tanh" if "tanh" in ablate else "")  # shared by p and dsilu
-                p = mwhere(s * sig * inv_norm)
-                dv_acc[h] += jax.lax.dot_general(
-                    p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                dp = jax.lax.dot_general(
-                    dob, v_ref[0, h], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                dsilu = sig * (1.0 + s * (1.0 - sig))
-                ds = mwhere(dp * inv_norm * dsilu)
-                ds16 = ds.astype(qb.dtype)
-                dk_acc[h] += alpha * jax.lax.dot_general(
-                    ds16, qb, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                dq_acc[h, pl.ds(row0, bq)] += alpha * jax.lax.dot_general(
-                    ds16, k_ref[0, h], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                @pl.when(full_live)
+                def _fast():
+                    tile(None)
+
+                @pl.when(jnp.logical_not(full_live))
+                def _slow():
+                    tile(built_mask())
+            else:
+                tile(built_mask())
             return carry
 
         jax.lax.fori_loop(i_first, n_q_live, body, 0, unroll=False)
