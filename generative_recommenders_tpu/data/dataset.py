@@ -142,9 +142,14 @@ class SequenceDataset:
         ratings = self._seq.ratings[idx]
         ts = self._seq.timestamps[idx]
         if self._ignore_last_n > 0:
-            items = items[: -self._ignore_last_n]
-            ratings = ratings[: -self._ignore_last_n]
-            ts = ts[: -self._ignore_last_n]
+            # fractal-expansion corpora contain 1-event rows; clamp so the
+            # row degrades to a cold-start sample (empty history, the event
+            # as target) instead of crashing on an empty slice
+            ign = min(self._ignore_last_n, len(items) - 1)
+            if ign > 0:
+                items = items[:-ign]
+                ratings = ratings[:-ign]
+                ts = ts[:-ign]
         if self._sample_ratio < 1.0 and len(items) > 1:
             keep = self._rng.random(len(items)) < self._sample_ratio
             keep[-1] = True  # never drop the target
