@@ -46,12 +46,14 @@ def main() -> None:
         args.prefix, max_sequence_length=args.seq_len, ignore_last_n=1,
         sample_ratio=args.sample_ratio,
     )
+    # scan row maxima for the true id range (stride keeps it a few
+    # seconds through the native reader); +1 margin for safety
     probe = [
         max(int(ds.get_row(i)["historical_ids"].max()),
             int(ds.get_row(i)["target_ids"]))
-        for i in range(0, 2000, 40)
+        for i in range(0, len(ds), 3)
     ]
-    num_items = int(max(probe)) + 1
+    num_items = int(max(probe)) + 2
     cfg = TrainConfig(
         model=ModelConfig(
             num_items=num_items, max_sequence_len=args.seq_len,
@@ -102,7 +104,7 @@ def main() -> None:
         row = eval_ds.get_row(i)
         ids = row["historical_ids"]
         L = int(row["history_lengths"])
-        pop[ids[: max(L - 1, 0)]] += 1
+        np.add.at(pop, np.clip(ids[: max(L - 1, 0)], 0, num_items - 1), 1)
         targets.append(int(row["target_ids"]))
     top10 = set(np.argsort(pop)[-10:].tolist())
     pop_hr10 = float(np.mean([t in top10 for t in targets]))
