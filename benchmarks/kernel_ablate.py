@@ -74,7 +74,9 @@ def main():
     fwd_flops = float((2.0 * H * (D + D) * lens**2 / 2.0).sum())
     total_flops = fwd_flops * (3.5 if mode == "fwdbwd" else 1.0)
 
-    for ablate in ["", "nosig", "nomask", "nowhere", "nosig,nomask", "tanh", "bf16act", "bf16act,tanh", "interior", "interior,tanh"]:
+    # "" = production (tanh sigmoid + interior fast path); logistic /
+    # nointerior revert the two measured-default lowerings for A/B
+    for ablate in ["", "logistic", "nointerior", "logistic,nointerior", "nosig", "nomask", "nowhere", "nosig,nomask", "bf16act"]:
         os.environ["GR_TPU_KERNEL_ABLATE"] = ablate
 
         def loss(q, k, v, lens):

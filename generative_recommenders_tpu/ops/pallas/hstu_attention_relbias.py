@@ -58,6 +58,7 @@ from generative_recommenders_tpu.ops.pallas.hstu_attention import (
     _block_mask,
     _cdiv,
     _interpret_default,
+    _sigmoid,
     _silu,
     _use_resident,
     _use_resident_bwd,
@@ -347,7 +348,7 @@ def _bwd_kernel_relbias(
                     qb, k_ref[0, h], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) * alpha + bias
-                sig = jax.nn.sigmoid(s)  # shared by p and dsilu
+                sig = _sigmoid(s)  # shared by p and dsilu
                 p = jnp.where(mask, s * sig * inv_norm, 0.0)
                 dv_acc[h] += jax.lax.dot_general(
                     p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
