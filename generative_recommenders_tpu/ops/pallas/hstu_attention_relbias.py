@@ -163,7 +163,8 @@ def _fwd_kernel_relbias(
     k_ref,  # [1, H, N, D]  (full row resident)
     v_ref,  # [1, H, N, V]
     tsq_ref,  # [1, BQ, 1] f32 — query-side ts (ts shifted by one)
-    tsc_ref,  # [1, N] f32 — key-side ts, full row resident
+    tsc_ref,  # [1, 1, N] f32 — key-side ts, full row resident (the leading
+    #          singleton keeps the block's last-two dims Mosaic-legal)
     pos_rows_ref,  # [n_pos_rows, 128] f32
     ts_w_ref,  # [2, 128] f32 (row 1 lane 0 = entry 128)
     o_ref,  # [1, H, BQ, V]
@@ -206,7 +207,7 @@ def _fwd_kernel_relbias(
                 max_attn_len, contextual_seq_len, min_full_attn_seq_len,
                 has_targets=has_targets,
             )
-            ts_row = tsc_ref[:, pl.ds(col0, bk)]  # [1, bk]
+            ts_row = tsc_ref[0, :, pl.ds(col0, bk)]  # [1, bk]
             bucket = _ts_bucket_tile(tsq_col, ts_row, num_buckets)
             bias = _pos_bias_tile(
                 pos_rows_ref, row0, col0, bq, bk, pos_table_len
@@ -283,7 +284,7 @@ def _bwd_kernel_relbias(
     lengths_ref, num_targets_ref,
     q_ref, k_ref, v_ref, do_ref,  # k/v tiles at j; q/do full rows resident
     tsq_ref,  # [1, N, 1] f32 — full row resident (rows vary in inner loop)
-    tsc_ref,  # [1, BK] f32 — this kv tile's key-side ts
+    tsc_ref,  # [1, 1, BK] f32 — this kv tile's key-side ts
     pos_rows_ref, ts_w_ref,
     dq_ref, dk_ref, dv_ref, dpos_ref, dts_ref,
     dq_acc, dk_acc, dv_acc, dpos_acc, dts_acc,
@@ -322,7 +323,7 @@ def _bwd_kernel_relbias(
         else:
             i_first = 0
         n_q_live = pl.cdiv(length, bq)
-        ts_row = tsc_ref[...]  # [1, bk]
+        ts_row = tsc_ref[0]  # [1, bk]
         ts_last = ts_w_ref[1, 0]
         iota_nb = jax.lax.broadcasted_iota(jnp.int32, (1, nb_pad), 1)
 
@@ -450,7 +451,7 @@ def _relbias_bwd(
                 pl.BlockSpec((1, H, bk, V), lambda b, j, L, T: (b, 0, j, 0)),
                 pl.BlockSpec((1, H, N, V), lambda b, j, L, T: (b, 0, 0, 0)),
                 pl.BlockSpec((1, N, 1), lambda b, j, L, T: (b, 0, 0)),
-                pl.BlockSpec((1, bk), lambda b, j, L, T: (b, j)),
+                pl.BlockSpec((1, 1, bk), lambda b, j, L, T: (b, 0, j)),
                 pl.BlockSpec(pos_rows.shape, lambda b, j, L, T: (0, 0)),
                 pl.BlockSpec((2, 128), lambda b, j, L, T: (0, 0)),
             ],
@@ -560,6 +561,10 @@ def hstu_mha_dense_pallas_relbias(
     # (unpadded) length — ts[b, min(i+1, N_orig-1)]
     idx_next = jnp.minimum(jnp.arange(N) + 1, N_orig - 1)
     tsq = jnp.take(ts, idx_next, axis=1)[:, :, None]  # [B, N, 1]
+    # key-side ts carried as [B, 1, N]: a leading singleton so the kernels'
+    # (1, 1, bk) blocks satisfy Mosaic's last-two-dims rule ([B, N] with a
+    # (1, bk) block is rejected whenever B > 1)
+    tsc3 = ts[:, None, :]
 
     # pack tables: pos_w -> [ceil/128, 128]; ts_w -> [2, 128]
     P_pad = _round_up(table_len, 128)
@@ -631,7 +636,7 @@ def _relbias_fwd_entry(
                 pl.BlockSpec((1, H, N, D), lambda b, iq, L, T: (b, 0, 0, 0)),
                 pl.BlockSpec((1, H, N, V), lambda b, iq, L, T: (b, 0, 0, 0)),
                 pl.BlockSpec((1, bq, 1), lambda b, iq, L, T: (b, iq, 0)),
-                pl.BlockSpec((1, N), lambda b, iq, L, T: (b, 0)),
+                pl.BlockSpec((1, 1, N), lambda b, iq, L, T: (b, 0, 0)),
                 pl.BlockSpec(
                     (pos_rows.shape[0], 128), lambda b, iq, L, T: (0, 0)
                 ),
