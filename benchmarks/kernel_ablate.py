@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-N_LO, N_HI = 50, 250
+N_LO, N_HI = 50, 250  # fwdbwd; fwd-only uses a longer loop (see below)
 
 
 def _dep(x):
@@ -34,20 +34,36 @@ def _dep(x):
     )
 
 
-def _diff_time(make_loop) -> float:
-    f_lo, f_hi = make_loop(N_LO), make_loop(N_HI)
+def _diff_time(make_loop, n_lo=N_LO, n_hi=N_HI, reps=3) -> float:
+    """Two-length differential loop timing.
+
+    Round-3 postmortem: at fwd-only granularity (~100 us/iter) a 200-iter
+    differential is ~20 ms of device time — the same order as host/relay
+    jitter — and the min-of-diffs estimator went NEGATIVE. Fix: callers
+    scale the loop counts so the differential is >=100 ms of device time,
+    we take the MEDIAN of per-rep diffs (negative-robust), and reject the
+    measurement loudly rather than report a negative rate.
+    """
+    f_lo, f_hi = make_loop(n_lo), make_loop(n_hi)
     int(f_lo())
     int(f_hi())
-    best = float("inf")
-    for _ in range(3):
+    diffs = []
+    for _ in range(reps):
         t0 = time.perf_counter()
         int(f_lo())
         t_lo = time.perf_counter() - t0
         t0 = time.perf_counter()
         int(f_hi())
         t_hi = time.perf_counter() - t0
-        best = min(best, (t_hi - t_lo) / (N_HI - N_LO))
-    return best
+        diffs.append((t_hi - t_lo) / (n_hi - n_lo))
+    diffs.sort()
+    med = diffs[len(diffs) // 2]
+    if med <= 0:
+        raise RuntimeError(
+            f"non-positive differential ({med*1e6:.1f} us) — loop counts "
+            f"too small for this granularity; raise n_lo/n_hi"
+        )
+    return med
 
 
 def main():
@@ -102,7 +118,12 @@ def main():
             return functools.partial(f, q, k, v)
 
         try:
-            t = _diff_time(make_loop)
+            if mode == "fwd":
+                # fwd iterations are ~3.5x cheaper: scale the differential
+                # so it stays well above host/relay jitter (round-3 fix)
+                t = _diff_time(make_loop, n_lo=100, n_hi=1100, reps=5)
+            else:
+                t = _diff_time(make_loop)
             print(
                 f"{ablate or 'base':14s}: {t*1e6:8.1f} us  "
                 f"{total_flops/t/1e12:6.2f} TF/s",

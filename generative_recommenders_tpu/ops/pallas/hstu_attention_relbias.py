@@ -1,10 +1,12 @@
 """Flash HSTU attention with IN-KERNEL relative attention bias (fwd + bwd).
 
-TPU twin of the reference's bias-fused Triton kernel
-(`ops/triton/triton_hstu_attention.py:214-309` — `_attn_fwd` with
-`USE_TIME_BIAS`/`USE_POS_BIAS`, loading `ts_weights`/`pos_weights` per tile)
-and its semantics source `research/modeling/sequential/hstu.py:87-147`
-(RelativeBucketedTimeAndPositionBasedBias):
+BEYOND-REFERENCE scope: the reference has no bias-fused attention kernel —
+its research stack materializes the full [B, N, N] bias on the host model
+side (`research/modeling/sequential/hstu.py:87-147`,
+RelativeBucketedTimeAndPositionBasedBias) and feeds it to a generic
+attention. This kernel fuses that bias into the flash attention tiles so it
+is never materialized. Semantics source (what must match bit-for-bit up to
+tiling):
 
     bias[b, i, j] = pos_w[j - i + Nm - 1]
                   + ts_w[clip(floor(log(max(|ts[b, i+1] - ts[b, j]|, 1))
@@ -47,6 +49,7 @@ dispatch, falling back to the XLA composite otherwise.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -289,7 +292,7 @@ def _bwd_kernel_relbias(
     dq_ref, dk_ref, dv_ref, dpos_ref, dts_ref,
     dq_acc, dk_acc, dv_acc, dpos_acc, dts_acc,
     *, bq, bk, n_kv, n_b, alpha, inv_norm, pos_table_len, num_buckets,
-    pos_guard, causal, max_attn_len, contextual_seq_len,
+    causal, max_attn_len, contextual_seq_len,
     min_full_attn_seq_len, has_targets=True,
 ):
     """Fused backward with bias-table gradients: grid (B, n_kv); per kv tile
@@ -383,10 +386,17 @@ def _bwd_kernel_relbias(
                 return carry2
 
             jax.lax.fori_loop(b_lo, b_hi + 1, ts_body, 0, unroll=False)
-            # pos_w: per-diagonal sums at this tile's diagonal offset
+            # pos_w: per-diagonal sums, accumulated into this tile's
+            # diagonal-offset ROW of the scratch (dynamic indexing on the
+            # batch dim is unconstrained; a dynamic LANE window offset is
+            # rejected by Mosaic — "cannot statically prove multiple of
+            # 128" — even when affine-provably aligned). The host
+            # reconstructs dpos from the rows with one scatter-add.
             d = _diag_sums(ds_sum, bq, bk)  # [1, Lp]
-            base = col0 - row0 + (pos_table_len - 1) // 2 - (bq - 1)
-            dpos_acc[:, pl.ds(base + pos_guard, Lp)] += d
+            g_diag = math.gcd(bq, bk)
+            N_tot = q_ref.shape[2]
+            dd = (col0 - row0 + (N_tot - bq)) // g_diag
+            dpos_acc[pl.ds(dd, 1), :, :] += d[None]
             return carry
 
         jax.lax.fori_loop(i_first, n_q_live, body, 0, unroll=False)
@@ -400,8 +410,10 @@ def _bwd_kernel_relbias(
 
     @pl.when(jnp.logical_and(b == n_b - 1, j == n_kv - 1))
     def _write_tables():
-        P = dpos_ref.shape[1]
-        dpos_ref[...] = dpos_acc[:, pos_guard : pos_guard + P]
+        # full scratch out (the pos window extraction at the unaligned static
+        # offset `pos_guard` happens on the host — Mosaic only accepts
+        # 128-aligned lane offsets in-kernel)
+        dpos_ref[...] = dpos_acc[...]
         dts_ref[...] = dts_acc[...]
 
 
@@ -428,14 +440,18 @@ def _relbias_bwd(
     n_q, n_kv = _cdiv(N, bq), _cdiv(N, bk)
     Lp = _round_up(bq + bk - 1, 128)
     P_pad = pos_rows.shape[0] * 128
-    guard = 128 + bq  # |base| < N_pad - Nm + bq < 128 + bq (pad < 128)
-    S_len = _round_up(guard + P_pad + Lp + 128, 128)
+    # dpos is accumulated per diagonal-offset row (delta = col0 - row0, a
+    # multiple of g = gcd(bq, bk)); the host scatter-adds the rows back into
+    # the pos table layout below. This keeps every in-kernel dpos index on
+    # the batch dim — Mosaic rejects dynamic lane-window offsets outright.
+    g = math.gcd(bq, bk)
+    n_diags = (2 * N - bq - bk) // g + 1
     nb_pad = 256  # always matches ts_w2's [2, 128] packing
     kernel = functools.partial(
         _bwd_kernel_relbias,
         bq=bq, bk=bk, n_kv=n_kv, n_b=B, alpha=alpha,
         inv_norm=1.0 / max_seq_len, pos_table_len=pos_table_len,
-        num_buckets=num_buckets, pos_guard=guard, causal=causal,
+        num_buckets=num_buckets, causal=causal,
         max_attn_len=max_attn_len, contextual_seq_len=contextual_seq_len,
         min_full_attn_seq_len=min_full_attn_seq_len,
         has_targets=has_targets,
@@ -459,14 +475,16 @@ def _relbias_bwd(
                 pl.BlockSpec((1, H, N, D), lambda b, j, L, T: (b, 0, 0, 0)),
                 pl.BlockSpec((1, H, bk, D), lambda b, j, L, T: (b, 0, j, 0)),
                 pl.BlockSpec((1, H, bk, V), lambda b, j, L, T: (b, 0, j, 0)),
-                pl.BlockSpec((1, P_pad), lambda b, j, L, T: (0, 0)),
+                pl.BlockSpec(
+                    (n_diags, 1, Lp), lambda b, j, L, T: (0, 0, 0)
+                ),
                 pl.BlockSpec((1, nb_pad), lambda b, j, L, T: (0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((H, N, D), jnp.float32),
                 pltpu.VMEM((H, bk, D), jnp.float32),
                 pltpu.VMEM((H, bk, V), jnp.float32),
-                pltpu.VMEM((1, S_len), jnp.float32),
+                pltpu.VMEM((n_diags, 1, Lp), jnp.float32),
                 pltpu.VMEM((1, nb_pad), jnp.float32),
             ],
         ),
@@ -474,7 +492,7 @@ def _relbias_bwd(
             jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
             jax.ShapeDtypeStruct((B, H, N, D), k.dtype),
             jax.ShapeDtypeStruct((B, H, N, V), v.dtype),
-            jax.ShapeDtypeStruct((1, P_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_diags, 1, Lp), jnp.float32),
             jax.ShapeDtypeStruct((1, nb_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -485,6 +503,23 @@ def _relbias_bwd(
         lengths.astype(jnp.int32), num_targets.astype(jnp.int32),
         q, k, v, do, tsq, tsc, pos_rows, ts_w2,
     )
+    # reconstruct dpos from the per-diagonal rows: row dd, entry t carries
+    # the ds-sum of the global diagonal delta = dd*g - (N - bq) at tile
+    # lane t, i.e. pos index p = delta + t - (bq - 1) + (Nm - 1)
+    rows = dpos.reshape(n_diags, Lp)
+    nm = (pos_table_len - 1) // 2 + 1
+    p = (
+        jnp.arange(n_diags)[:, None] * g
+        - (N - bq)
+        + (nm - bq)
+        + jnp.arange(Lp)[None, :]
+    )
+    valid = (p >= 0) & (p < P_pad)
+    dpos = (
+        jnp.zeros((P_pad,), jnp.float32)
+        .at[jnp.where(valid, p, 0)]
+        .add(jnp.where(valid, rows, 0.0))
+    )[None]
     return dq, dk, dv, dpos, dts
 
 
@@ -584,7 +619,7 @@ def hstu_mha_dense_pallas_relbias(
         num_targets is not None,
     )
     out = _relbias_call(
-        qt, kt, vt, pos_rows, ts_w2, tsq, ts,
+        qt, kt, vt, pos_rows, ts_w2, tsq, tsc3,
         lengths.astype(jnp.int32), nt, *statics
     )
     out = jnp.transpose(out, (0, 2, 1, 3))

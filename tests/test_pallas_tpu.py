@@ -138,3 +138,204 @@ def test_pallas_tpu_matches_xla_spec(case, monkeypatch):
             rtol=rtol, atol=atol,
             err_msg=f"{case.name}: {name} mismatch",
         )
+
+
+# ---------------------------------------------------------------------------
+# rel-bias kernel, Mosaic-lowered (VERDICT r3 #2: interpret mode never
+# exercises real lowering — the round-3 B>1 blockspec failure only appeared
+# under Mosaic). Mirrors tests/test_relbias_attention.py's differential
+# methodology with interpret=False on the real chip.
+
+
+@dataclasses.dataclass
+class RelCase:
+    name: str
+    B: int
+    N: int
+    dtype: str
+    num_targets: bool = False
+    max_attn_len: int = 0
+    min_full_attn_seq_len: int = 0
+    bwd: bool = True
+
+
+REL_CASES = [
+    RelCase("f32_b3_unaligned211", 3, 211, "float32"),
+    RelCase("f32_b2_aligned512", 2, 512, "float32"),
+    RelCase("bf16_b2_aligned512", 2, 512, "bfloat16", bwd=False),
+    RelCase("targets_window", 3, 384, "float32", num_targets=True,
+            max_attn_len=37, min_full_attn_seq_len=16),
+]
+
+
+def _relbias_ref(q, k, v, lengths, ts, pos_w, ts_w, Nm, nt, case):
+    from generative_recommenders_tpu.ops.attention_mask import (
+        make_valid_attn_mask,
+    )
+
+    B, N = q.shape[0], q.shape[1]
+    nb = 128
+    mask = make_valid_attn_mask(
+        N, lengths, causal=True, num_targets=nt,
+        max_attn_len=case.max_attn_len,
+        min_full_attn_seq_len=case.min_full_attn_seq_len,
+    )
+    pos = jnp.arange(N)
+    valid_rc = (pos[None, :, None] < lengths[:, None, None]) & (
+        pos[None, None, :] < lengths[:, None, None]
+    )
+    mask = jnp.logical_and(mask, valid_rc)
+    tsf = ts.astype(jnp.float32)
+    ext = jnp.concatenate([tsf, tsf[:, -1:]], axis=1)
+    i = jnp.arange(N)
+    rel = i[None, :] - i[:, None] + Nm - 1
+    pos_b = jnp.take(pos_w, rel, axis=0)[None]
+    dt = ext[:, 1:, None] - ext[:, None, :-1]
+    bucket = jnp.clip(
+        jnp.floor(
+            jnp.log(jnp.maximum(jnp.abs(dt), 1.0)) / 0.301
+        ).astype(jnp.int32),
+        0, nb,
+    )
+    bias = pos_b + jnp.take(ts_w, bucket, axis=0)
+    return hstu_mha_dense(
+        q, k, v, alpha=1.0, max_seq_len=N, mask=mask,
+        bias=jnp.broadcast_to(bias, (B, N, N)),
+    )
+
+
+@pytest.mark.parametrize("case", REL_CASES, ids=lambda c: c.name)
+def test_relbias_pallas_tpu_matches_xla(case):
+    from generative_recommenders_tpu.ops.pallas.hstu_attention_relbias import (
+        hstu_mha_dense_pallas_relbias,
+    )
+
+    B, N, H, D, V = case.B, case.N, 2, 32, 32
+    Nm = max(N, 500)
+    dtype = jnp.dtype(case.dtype)
+    rng = np.random.default_rng(hash(case.name) % 2**31)
+    q = jnp.asarray(rng.standard_normal((B, N, H, D)) * 0.3, dtype)
+    k = jnp.asarray(rng.standard_normal((B, N, H, D)) * 0.3, dtype)
+    v = jnp.asarray(rng.standard_normal((B, N, H, V)) * 0.3, dtype)
+    lengths_np = rng.integers(N // 4, N + 1, size=(B,)).astype(np.int32)
+    lengths_np[0] = N
+    lengths = jnp.asarray(lengths_np)
+    steps = rng.integers(1, 90000, size=(B, N))
+    ts = jnp.asarray(1_600_000_000 + np.cumsum(steps, axis=1))
+    pos_w = jnp.asarray(
+        (rng.standard_normal(2 * Nm - 1) * 0.05).astype(np.float32)
+    )
+    ts_w = jnp.asarray((rng.standard_normal(129) * 0.05).astype(np.float32))
+    nt = None
+    if case.num_targets:
+        nt = jnp.asarray(
+            np.minimum(rng.integers(1, 6, size=(B,)), lengths_np - 1)
+        ).astype(jnp.int32)
+
+    w_np = rng.standard_normal((B, N, H, V)).astype(np.float32)
+    for b in range(B):
+        w_np[b, lengths_np[b]:] = 0.0
+    w = jnp.asarray(w_np)
+
+    def loss_pal(q_, k_, v_, pw_, tw_):
+        out = hstu_mha_dense_pallas_relbias(
+            q_, k_, v_, lengths, ts, pw_, tw_, num_targets=nt,
+            max_attn_len=case.max_attn_len,
+            min_full_attn_seq_len=case.min_full_attn_seq_len,
+            interpret=False,
+        )
+        return jnp.sum(out.astype(jnp.float32) * w), out
+
+    def loss_ref(q_, k_, v_, pw_, tw_):
+        out = _relbias_ref(q_, k_, v_, lengths, ts, pw_, tw_, Nm, nt, case)
+        return jnp.sum(out.astype(jnp.float32) * w), out
+
+    with jax.default_matmul_precision(
+        "highest" if dtype == jnp.float32 else "default"
+    ):
+        if case.bwd:
+            (l_p, o_p), g_p = jax.jit(jax.value_and_grad(
+                loss_pal, argnums=(0, 1, 2, 3, 4), has_aux=True
+            ))(q, k, v, pos_w, ts_w)
+            (l_x, o_x), g_x = jax.jit(jax.value_and_grad(
+                loss_ref, argnums=(0, 1, 2, 3, 4), has_aux=True
+            ))(q, k, v, pos_w, ts_w)
+        else:
+            _, o_p = jax.jit(loss_pal)(q, k, v, pos_w, ts_w)
+            _, o_x = jax.jit(loss_ref)(q, k, v, pos_w, ts_w)
+            g_p = g_x = ()
+
+    rtol, atol = (
+        (2e-4, 2e-4) if dtype == jnp.float32 else (4e-2, 4e-3)
+    )
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(o_p[b, : lengths_np[b]], np.float32),
+            np.asarray(o_x[b, : lengths_np[b]], np.float32),
+            rtol=rtol, atol=atol,
+            err_msg=f"{case.name}: forward mismatch",
+        )
+    for name, a, b_ in zip("dq dk dv dpos_w dts_w".split(), g_p, g_x):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            rtol=rtol, atol=max(atol, 2e-4),
+            err_msg=f"{case.name}: {name} mismatch",
+        )
+
+
+# ---------------------------------------------------------------------------
+# delta-q cached-decode kernel, Mosaic-lowered (serving forward path).
+
+
+@pytest.mark.parametrize(
+    "name,M,N,dtype,num_targets,max_attn_len,contextual",
+    [
+        ("f32_m40", 40, 512, "float32", False, 0, 0),
+        ("bf16_m40", 40, 512, "bfloat16", False, 0, 0),
+        ("f32_m5_unaligned", 5, 700, "float32", False, 0, 0),
+        ("targets_window", 40, 512, "float32", True, 65, 0),
+        ("contextual", 16, 512, "float32", True, 0, 8),
+    ],
+)
+def test_delta_pallas_tpu_matches_xla(
+    name, M, N, dtype, num_targets, max_attn_len, contextual
+):
+    from generative_recommenders_tpu.ops.hstu_compute import delta_hstu_mha
+    from generative_recommenders_tpu.ops.pallas.hstu_attention import (
+        delta_hstu_mha_pallas,
+    )
+
+    B, H, D, V = 4, 4, 64, 64
+    dt = jnp.dtype(dtype)
+    rng = np.random.default_rng(hash(name) % 2**31)
+    dq = jnp.asarray(rng.standard_normal((B, M, H, D)) * 0.3, dt)
+    k = jnp.asarray(rng.standard_normal((B, N, H, D)) * 0.3, dt)
+    v = jnp.asarray(rng.standard_normal((B, N, H, V)) * 0.3, dt)
+    lengths_np = rng.integers(
+        max(M + 4, contextual + 2), N + 1, size=(B,)
+    ).astype(np.int32)
+    lengths_np[0] = N
+    lengths = jnp.asarray(lengths_np)
+    nt = None
+    if num_targets:
+        nt = jnp.asarray(
+            np.minimum(rng.integers(1, 5, (B,)), lengths_np - 1)
+        ).astype(jnp.int32)
+    kwargs = dict(
+        alpha=0.8, num_targets=nt, norm_len=N,
+        max_attn_len=max_attn_len, contextual_seq_len=contextual,
+    )
+    with jax.default_matmul_precision(
+        "highest" if dt == jnp.float32 else "default"
+    ):
+        want = jax.jit(
+            lambda *a: delta_hstu_mha(*a, **kwargs)
+        )(dq, k, v, lengths)
+        got = jax.jit(
+            lambda *a: delta_hstu_mha_pallas(*a, interpret=False, **kwargs)
+        )(dq, k, v, lengths)
+    rtol, atol = (2e-4, 2e-5) if dt == jnp.float32 else (5e-2, 5e-3)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=rtol, atol=atol, err_msg=f"{name}: delta fwd mismatch",
+    )
