@@ -208,14 +208,20 @@ def _fwd_kernel_rkv(
                 bias = None
 
             def tile(mask):
+                # alpha rides the [bq, D] q tile and inv_norm the [bq, V]
+                # accumulator flush: no full-S [bq, bk] VPU scaling passes
+                # (a full-S scalar pass costs as many VPU cycles as a whole
+                # matmul costs the MXU), and no host-side HBM round-trips
+                # (measured: a host q/do prescale costs ~5% end-to-end)
                 for h in range(H):
                     kb = k_ref[0, h, pl.ds(col0, bk)]
                     vb = v_ref[0, h, pl.ds(col0, bk)]
+                    qb = q_ref[0, h] if alpha == 1.0 else q_ref[0, h] * alpha
                     s = jax.lax.dot_general(
-                        q_ref[0, h], kb,
+                        qb, kb,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ) * alpha
+                    )
                     if bias is not None:
                         s = s + bias
                     if "bf16act" in ablate:
@@ -225,9 +231,9 @@ def _fwd_kernel_rkv(
                         else _silu(s, "logistic" if "logistic" in ablate else "")
                     )
                     if mask is None or "nowhere" in ablate:
-                        p = act * inv_norm
+                        p = act
                     else:
-                        p = jnp.where(mask, act * inv_norm, 0.0)
+                        p = jnp.where(mask, act, 0.0)
                     acc_ref[h] += jax.lax.dot_general(
                         p.astype(vb.dtype), vb,
                         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -269,7 +275,7 @@ def _fwd_kernel_rkv(
 
         jax.lax.fori_loop(0, n_live, body, 0, unroll=False)
 
-    o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+    o_ref[0] = (acc_ref[...] * inv_norm).astype(o_ref.dtype)
 
 
 def _bwd_fused_kernel_rkv(
@@ -317,20 +323,26 @@ def _bwd_fused_kernel_rkv(
                         return x
                     return jnp.where(mask, x, 0.0)
 
+                # alpha rides the [bq, D] q tile and inv_norm the [bq, V]
+                # do tile (s unchanged; dp/ds carry inv_norm via do; dk/dv
+                # land exactly; dq takes one *alpha at the flush) — no
+                # full-S VPU scaling passes and no host HBM round-trips
                 for h in range(H):
                     qb = q_ref[0, h, pl.ds(row0, bq)]
-                    dob = do_ref[0, h, pl.ds(row0, bq)]
+                    if alpha != 1.0:
+                        qb = qb * alpha
+                    dob = do_ref[0, h, pl.ds(row0, bq)] * inv_norm
                     s = jax.lax.dot_general(
                         qb, k_ref[0, h], (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ) * alpha
+                    )
                     if "bf16act" in ablate:
                         s = s.astype(jnp.bfloat16)
                     if "nosig" in ablate:
                         sig = 1.0
                     else:
                         sig = _sigmoid(s, "logistic" if "logistic" in ablate else "")  # shared by p and dsilu
-                    p = mwhere(s * sig * inv_norm)
+                    p = mwhere(s * sig)
                     dv_acc[h] += jax.lax.dot_general(
                         p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -340,13 +352,13 @@ def _bwd_fused_kernel_rkv(
                         preferred_element_type=jnp.float32,
                     )
                     dsilu = sig * (1.0 + s * (1.0 - sig))
-                    ds = mwhere(dp * inv_norm * dsilu)
+                    ds = mwhere(dp * dsilu)
                     ds16 = ds.astype(qb.dtype)
-                    dk_acc[h] += alpha * jax.lax.dot_general(
+                    dk_acc[h] += jax.lax.dot_general(
                         ds16, qb, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    dq_acc[h, pl.ds(row0, bq)] += alpha * jax.lax.dot_general(
+                    dq_acc[h, pl.ds(row0, bq)] += jax.lax.dot_general(
                         ds16, k_ref[0, h], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -389,7 +401,10 @@ def _bwd_fused_kernel_rkv(
 
     @pl.when(j == n_kv - 1)
     def _write_dq():
-        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+        acc = dq_acc[...]
+        if alpha != 1.0:
+            acc = acc * alpha
+        dq_ref[0] = acc.astype(dq_ref.dtype)
 
 
 # VMEM budgets for keeping full rows resident per grid step (double-buffered
@@ -474,14 +489,15 @@ def _fwd_kernel(
             bias_ref[0].astype(jnp.float32) if bias_ref is not None else None
         )
         for h in range(H):  # unrolled; amortizes mask across heads
+            qb = q_ref[0, h] if alpha == 1.0 else q_ref[0, h] * alpha
             s = jax.lax.dot_general(
-                q_ref[0, h], k_ref[0, h],
+                qb, k_ref[0, h],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * alpha
+            )
             if bias is not None:
                 s = s + bias
-            p = jnp.where(mask, _silu(s) * inv_norm, 0.0)
+            p = jnp.where(mask, _silu(s), 0.0)
             acc_ref[h] += jax.lax.dot_general(
                 p.astype(v_ref.dtype), v_ref[0, h],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -490,7 +506,7 @@ def _fwd_kernel(
 
     @pl.when(j == n_kv - 1)
     def _write():
-        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...] * inv_norm).astype(o_ref.dtype)
 
 
 def _clamped_kv_index(b, iq, j, lengths_ref, *, bq, bk, causal, contextual):
@@ -667,23 +683,29 @@ def _bwd_dq_kernel(
             has_targets=has_targets,
         )
         for h in range(H):
+            # alpha rides the [bq, D] q tile, inv_norm the [bq, V] do tile,
+            # and the final *alpha lands at the dq flush
+            qb = q_ref[0, h] if alpha == 1.0 else q_ref[0, h] * alpha
             s = jax.lax.dot_general(
-                q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * alpha
-            dp = jax.lax.dot_general(
-                do_ref[0, h], v_ref[0, h], (((1,), (1,)), ((), ())),
+                qb, k_ref[0, h], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = jnp.where(mask, dp * inv_norm * _dsilu(s), 0.0)
-            acc_ref[h] += alpha * jax.lax.dot_general(
+            dp = jax.lax.dot_general(
+                do_ref[0, h] * inv_norm, v_ref[0, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = jnp.where(mask, dp * _dsilu(s), 0.0)
+            acc_ref[h] += jax.lax.dot_general(
                 ds.astype(k_ref.dtype), k_ref[0, h], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
     @pl.when(j == n_kv - 1)
     def _write():
-        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+        acc = acc_ref[...]
+        if alpha != 1.0:
+            acc = acc * alpha
+        dq_ref[0] = acc.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
@@ -718,26 +740,29 @@ def _bwd_dkv_kernel(
             has_targets=has_targets,
         )
         for h in range(H):
+            # alpha rides the [bq, D] q tile, inv_norm the [bq, V] do tile
+            qb = q_ref[0, h] if alpha == 1.0 else q_ref[0, h] * alpha
+            dob = do_ref[0, h] * inv_norm
             s = jax.lax.dot_general(
-                q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
+                qb, k_ref[0, h], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * alpha  # [BQ, BK]
+            )  # [BQ, BK]
             sig = _sigmoid(s)  # shared between p and dsilu
-            p = jnp.where(mask, s * sig * inv_norm, 0.0)
-            # dV_j += P^T dO
+            p = jnp.where(mask, s * sig, 0.0)
+            # dV_j += P^T dO  (dO carries inv_norm)
             dv_acc[h] += jax.lax.dot_general(
-                p.astype(do_ref.dtype), do_ref[0, h], (((0,), (0,)), ((), ())),
+                p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dp = jax.lax.dot_general(
-                do_ref[0, h], v_ref[0, h], (((1,), (1,)), ((), ())),
+                dob, v_ref[0, h], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dsilu = sig * (1.0 + s * (1.0 - sig))
-            ds = jnp.where(mask, dp * inv_norm * dsilu, 0.0)
-            # dK_j += alpha * dS^T Q
-            dk_acc[h] += alpha * jax.lax.dot_general(
-                ds.astype(q_ref.dtype), q_ref[0, h], (((0,), (0,)), ((), ())),
+            ds = jnp.where(mask, dp * dsilu, 0.0)
+            # dK_j += dS^T (alpha Q) = alpha * dS^T Q exactly
+            dk_acc[h] += jax.lax.dot_general(
+                ds.astype(qb.dtype), qb, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -997,6 +1022,10 @@ def hstu_mha_dense_pallas(
     # measurement-only hook (benchmarks/kernel_ablate.py): comma-separated
     # {nosig, nomask, nowhere} time with pieces removed (results WRONG);
     # {logistic, nointerior} revert the measured-default exact lowerings
+    # NOTE: the 'logistic' A/B token only affects the resident-row kernels
+    # (_fwd_kernel_rkv/_bwd_fused_kernel_rkv); the 3-D-grid fallback backward
+    # kernels always use the production tanh lowering via _sigmoid/_dsilu
+    # defaults — A/B measurements are only meaningful on resident shapes.
     ablate = tuple(
         sorted(
             t
@@ -1144,12 +1173,13 @@ def _delta_fwd_kernel_rkv(
         for h in range(H):
             kb = k_ref[0, h, pl.ds(col0, bk)]
             vb = v_ref[0, h, pl.ds(col0, bk)]
+            qb = q_ref[0, h] if alpha == 1.0 else q_ref[0, h] * alpha
             s = jax.lax.dot_general(
-                q_ref[0, h], kb,
+                qb, kb,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * alpha
-            p = jnp.where(mask, _silu(s) * inv_norm, 0.0)
+            )
+            p = jnp.where(mask, _silu(s), 0.0)
             acc_ref[h] += jax.lax.dot_general(
                 p.astype(vb.dtype), vb,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -1158,7 +1188,7 @@ def _delta_fwd_kernel_rkv(
         return carry
 
     jax.lax.fori_loop(0, n_live, body, 0, unroll=False)
-    o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+    o_ref[0] = (acc_ref[...] * inv_norm).astype(o_ref.dtype)
 
 
 @functools.partial(

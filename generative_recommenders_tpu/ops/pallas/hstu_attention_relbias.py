@@ -220,12 +220,14 @@ def _fwd_kernel_relbias(
             for h in range(H):
                 kb = k_ref[0, h, pl.ds(col0, bk)]
                 vb = v_ref[0, h, pl.ds(col0, bk)]
+                # alpha rides the [bq, D] q tile; inv_norm the acc flush
+                qb = q_ref[0, h] if alpha == 1.0 else q_ref[0, h] * alpha
                 s = jax.lax.dot_general(
-                    q_ref[0, h], kb,
+                    qb, kb,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) * alpha + bias
-                p = jnp.where(mask, _silu(s) * inv_norm, 0.0)
+                ) + bias
+                p = jnp.where(mask, _silu(s), 0.0)
                 acc_ref[h] += jax.lax.dot_general(
                     p.astype(vb.dtype), vb,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -235,7 +237,7 @@ def _fwd_kernel_relbias(
 
         jax.lax.fori_loop(0, n_live, body, 0, unroll=False)
 
-    o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+    o_ref[0] = (acc_ref[...] * inv_norm).astype(o_ref.dtype)
 
 
 # ============================================================== backward ====
@@ -345,15 +347,21 @@ def _bwd_kernel_relbias(
                 ts_w_ref[pl.ds(0, 1), :], ts_last, bucket, num_buckets
             )
             ds_sum = jnp.zeros((bq, bk), jnp.float32)
+            # alpha rides the [bq, D] q tile and inv_norm the [bq, V] do
+            # tile: s is unchanged, ds carries inv_norm through dp, so
+            # dk/dv land exactly and the bias cotangent (ds_sum ->
+            # dpos/dts) is exact; dq takes one *alpha at the flush
             for h in range(H):
                 qb = q_ref[0, h, pl.ds(row0, bq)]
-                dob = do_ref[0, h, pl.ds(row0, bq)]
+                if alpha != 1.0:
+                    qb = qb * alpha
+                dob = do_ref[0, h, pl.ds(row0, bq)] * inv_norm
                 s = jax.lax.dot_general(
                     qb, k_ref[0, h], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) * alpha + bias
+                ) + bias
                 sig = _sigmoid(s)  # shared by p and dsilu
-                p = jnp.where(mask, s * sig * inv_norm, 0.0)
+                p = jnp.where(mask, s * sig, 0.0)
                 dv_acc[h] += jax.lax.dot_general(
                     p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -363,14 +371,14 @@ def _bwd_kernel_relbias(
                     preferred_element_type=jnp.float32,
                 )
                 dsilu = sig * (1.0 + s * (1.0 - sig))
-                ds = jnp.where(mask, dp * inv_norm * dsilu, 0.0)
+                ds = jnp.where(mask, dp * dsilu, 0.0)
                 ds_sum += ds
                 ds16 = ds.astype(qb.dtype)
-                dk_acc[h] += alpha * jax.lax.dot_general(
+                dk_acc[h] += jax.lax.dot_general(
                     ds16, qb, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                dq_acc[h, pl.ds(row0, bq)] += alpha * jax.lax.dot_general(
+                dq_acc[h, pl.ds(row0, bq)] += jax.lax.dot_general(
                     ds16, k_ref[0, h], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -406,7 +414,10 @@ def _bwd_kernel_relbias(
 
     @pl.when(j == n_kv - 1)
     def _write_dq():
-        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+        acc = dq_acc[...]
+        if alpha != 1.0:
+            acc = acc * alpha
+        dq_ref[0] = acc.astype(dq_ref.dtype)
 
     @pl.when(jnp.logical_and(b == n_b - 1, j == n_kv - 1))
     def _write_tables():
