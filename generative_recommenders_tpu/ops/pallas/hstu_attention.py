@@ -932,9 +932,26 @@ def _hstu_mha_pallas_core(
     )
 
 
+def _pack_rows(xt):
+    """[B, H, N, D] -> [B, N, H*D] for residual storage: the kernel layout
+    puts a D-wide minor dim that XLA lane-pads to 128 (2x held-HBM waste at
+    D=64, 4x at D=32, across EVERY layer's saved q/k/v in a deep model);
+    folding H*D into the minor dim stores residuals unpadded, and the
+    backward's re-transpose is a per-layer transient."""
+    B, H, N, D = xt.shape
+    return jnp.transpose(xt, (0, 2, 1, 3)).reshape(B, N, H * D)
+
+
+def _unpack_rows(xp, H):
+    B, N, HD = xp.shape
+    return jnp.transpose(xp.reshape(B, N, H, HD // H), (0, 2, 1, 3))
+
+
 def _core_fwd(q, k, v, lengths, num_targets, *static):
     out = _hstu_mha_pallas_core(q, k, v, lengths, num_targets, *static)
-    return out, (q, k, v, lengths, num_targets)
+    return out, (
+        _pack_rows(q), _pack_rows(k), _pack_rows(v), lengths, num_targets
+    )
 
 
 def _core_bwd(
@@ -942,7 +959,9 @@ def _core_bwd(
     min_full_attn_seq_len, block_q, block_k, interpret,
     has_targets, ablate, residuals, do,
 ):
-    q, k, v, lengths, num_targets = residuals
+    qp, kp, vp, lengths, num_targets = residuals
+    H = do.shape[1]  # do is the [B, H, N, V] cotangent of out
+    q, k, v = _unpack_rows(qp, H), _unpack_rows(kp, H), _unpack_rows(vp, H)
     dq, dk, dv = _hstu_mha_bwd(
         q, k, v, lengths, num_targets, do,
         alpha=alpha, max_seq_len=max_seq_len, causal=causal,

@@ -61,13 +61,23 @@ from generative_recommenders_tpu.ops.pallas.hstu_attention import (
     _block_mask,
     _cdiv,
     _interpret_default,
+    _pack_rows,
     _sigmoid,
     _silu,
+    _unpack_rows,
     _use_resident,
-    _use_resident_bwd,
 )
 
 _INV_LOG_BASE = 1.0 / 0.301  # bucket(x) = floor(ln(x) / 0.301)
+
+# the rel-bias kernels have no 3-D-grid fallback, so give them most of the
+# chip's 128 MB VMEM instead of Mosaic's conservative 16 MB scoped default
+# (measured: the bwd at B128/H8/N640/D32/f32 — the ml-20m preset at
+# seq_len 512 — needs 22.5 MB of scoped VMEM and compiles + runs fine once
+# the limit is raised); relbias_pallas_supported() gates shapes that would
+# exceed even this.
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+_RELBIAS_BWD_EST_LIMIT = 8 * 1024 * 1024  # row-estimate ceiling, see gate
 
 
 def _round_up(x: int, m: int) -> int:
@@ -508,6 +518,7 @@ def _relbias_bwd(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
         ),
         interpret=interpret,
     )(
@@ -696,6 +707,7 @@ def _relbias_fwd_entry(
         out_shape=jax.ShapeDtypeStruct((B, H, N, V), vt.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES,
         ),
         interpret=interpret,
     )(lengths, nt, qt, kt, vt, tsq, tsc, pos_rows, ts_w2)
@@ -707,7 +719,10 @@ def _relbias_vjp_fwd(
     out = _relbias_fwd_entry(
         qt, kt, vt, pos_rows, ts_w2, tsq, tsc, lengths, nt, *statics
     )
-    return out, (qt, kt, vt, pos_rows, ts_w2, tsq, tsc, lengths, nt)
+    return out, (
+        _pack_rows(qt), _pack_rows(kt), _pack_rows(vt),
+        pos_rows, ts_w2, tsq, tsc, lengths, nt,
+    )
 
 
 def _relbias_vjp_bwd(
@@ -715,7 +730,9 @@ def _relbias_vjp_bwd(
     contextual_seq_len, min_full_attn_seq_len, bq, bk, interpret,
     has_targets, residuals, do,
 ):
-    (qt, kt, vt, pos_rows, ts_w2, tsq, tsc, lengths, nt) = residuals
+    (qp, kp, vp, pos_rows, ts_w2, tsq, tsc, lengths, nt) = residuals
+    H = do.shape[1]  # do is the [B, H, N, V] cotangent of out
+    qt, kt, vt = _unpack_rows(qp, H), _unpack_rows(kp, H), _unpack_rows(vp, H)
     dq, dk, dv, dpos, dts = _relbias_bwd(
         qt, kt, vt, lengths, nt, tsq, tsc, pos_rows, ts_w2, do,
         alpha=alpha, max_seq_len=max_seq_len, pos_table_len=pos_table_len,
@@ -741,8 +758,17 @@ def relbias_pallas_supported(
 ) -> bool:
     """True when the resident-KV fwd AND fused bwd architectures fit VMEM
     (the rel-bias kernels have no 3-D-grid fallback — research shapes
-    always fit; otherwise dispatch stays on the XLA composite)."""
+    always fit; otherwise dispatch stays on the XLA composite).
+
+    The bwd gate is an envelope calibrated on a measured data point: at
+    H=8, N=640, D=V=32, f32 the row estimate below is 2.62 MB while
+    Mosaic's actual scoped allocation is 22.52 MB (an ~8.6x hidden
+    multiplier from pipeline double-buffering, k/v/dk/dv tiles, and
+    gather temporaries). With ``_VMEM_LIMIT_BYTES`` = 100 MB the safe
+    estimate ceiling is therefore ~8 MB."""
     Np = _round_up(N, 128)
-    return _use_resident(H, Np, D, V, itemsize) and _use_resident_bwd(
-        H, Np, D, V, itemsize
+    per_row_bwd = (D + V) * itemsize + D * itemsize + D * 4
+    return (
+        _use_resident(H, Np, D, V, itemsize)
+        and H * Np * per_row_bwd <= _RELBIAS_BWD_EST_LIMIT
     )
