@@ -1,21 +1,34 @@
-"""Block-size / variant tuning harness for the Pallas flash-HSTU kernel.
+"""Block-size tuning sweep for the Pallas HSTU attention kernels.
 
-Same differential-loop timing as bench.py; prints one line per variant.
-Usage: python benchmarks/attn_tune.py [N] [fwd|fwdbwd]
+Produces the committed FACTORY table in `ops/pallas/autotune.py` (r4 verdict
+next #7: the reference autotunes ~40 configs per shape bucket,
+`triton_hstu_attention.py:1247-1456`; our legal space is small because
+blocks must divide the padded N, but every production shape must have a
+measured winner, not a heuristic).
+
+Shape registry = every shape the repo actually dispatches:
+  * bench shape family      mha  H4/D64/V64   N512/1024/2048
+  * ML-20M HSTU-large       mha  H8/D32/V32   N256 (seq 200 + targets)
+  * ml-3b preset            mha  H8/D32/V32   N640 (seq 500 + targets)
+  * serving (configs/dlrm)  mha  H4/D128/V128 N640/1152 (uih 512/1024 + cands)
+  * rel-bias training       rb   H8/D32/V32   N640/1152
+  * M-FALCON delta decode   dlt  H4/D128/V128 N640/1152
+
+Timing: fwd+bwd differential loop (bench.py pattern — carry feeds lengths).
+Prints one line per (shape, candidate) and a FACTORY-formatted dict at the
+end. Usage: python benchmarks/attn_tune.py [ignored...]
 """
 
 import functools
 import os
 import sys
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-N_LO, N_HI = 50, 250
 
 
 def _dep(x):
@@ -24,81 +37,164 @@ def _dep(x):
     )
 
 
-def _diff_time(make_loop) -> float:
-    f_lo, f_hi = make_loop(N_LO), make_loop(N_HI)
+def _diff_time(make_loop, lo=10, hi=50, reps=3) -> float:
+    f_lo, f_hi = make_loop(lo), make_loop(hi)
     int(f_lo())
     int(f_hi())
-    best = float("inf")
-    for _ in range(3):
+    diffs = []
+    for _ in range(reps):
         t0 = time.perf_counter()
         int(f_lo())
         t_lo = time.perf_counter() - t0
         t0 = time.perf_counter()
         int(f_hi())
         t_hi = time.perf_counter() - t0
-        best = min(best, (t_hi - t_lo) / (N_HI - N_LO))
-    return best
+        diffs.append((t_hi - t_lo) / (hi - lo))
+    diffs.sort()
+    med = diffs[len(diffs) // 2]
+    if med <= 0:
+        raise RuntimeError("non-positive differential")
+    return med
 
 
 def main():
-    from generative_recommenders_tpu.ops.pallas.hstu_attention import (
-        hstu_mha_dense_pallas,
+    from generative_recommenders_tpu.ops.pallas import hstu_attention as ha
+    from generative_recommenders_tpu.ops.pallas import (
+        hstu_attention_relbias as rb,
+    )
+    from generative_recommenders_tpu.ops.pallas.autotune import (
+        _CANDIDATES, _DELTA_CANDIDATES, _bucket_n, _divides, _key,
     )
 
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    mode = sys.argv[2] if len(sys.argv) > 2 else "fwdbwd"
-    B, H, D = 8, 4, 64
+    # (kind, N, H, D, V) — every shape a default config can dispatch
+    REGISTRY = [
+        ("mha", 2048, 4, 64, 64),
+        ("mha", 1024, 4, 64, 64),
+        ("mha", 512, 4, 64, 64),
+        ("mha", 256, 8, 32, 32),     # ML-20M HSTU-large research
+        ("mha", 640, 8, 32, 32),     # ml-3b preset (seq 500 + targets)
+        ("mha", 640, 4, 128, 128),   # serving uih 512
+        ("mha", 1152, 4, 128, 128),  # serving uih 1024
+        ("relbias", 640, 8, 32, 32),
+        ("relbias", 1152, 8, 32, 32),
+        ("delta", 640, 4, 128, 128),
+        ("delta", 1152, 4, 128, 128),
+    ]
+    B = 8
     dtype = jnp.bfloat16
     rng = np.random.default_rng(0)
-    lengths = jnp.asarray(
-        np.clip(rng.integers(N // 8, N, size=(B,)), 1, N), jnp.int32
-    )
-    q = jnp.asarray(rng.standard_normal((B, N, H, D), np.float32) * 0.1, dtype)
-    k = jnp.asarray(rng.standard_normal((B, N, H, D), np.float32) * 0.1, dtype)
-    v = jnp.asarray(rng.standard_normal((B, N, H, D), np.float32) * 0.1, dtype)
-    alpha = 1.0 / D**0.5
+    factory = {}
 
-    lens = np.asarray(lengths, np.float64)
-    fwd_flops = float((2.0 * H * (D + D) * lens**2 / 2.0).sum())
-    total_flops = fwd_flops * (3.5 if mode == "fwdbwd" else 1.0)
-
-    for bq, bk in [(128, 128), (128, 256), (256, 256), (256, 512),
-                   (512, 256), (512, 512), (1024, 512), (512, 1024)]:
-        if bq > N or bk > N:
-            continue
-
-        def loss(q, k, v, lens):
-            o = hstu_mha_dense_pallas(
-                q, k, v, lengths=lens, alpha=alpha, max_seq_len=N,
-                causal=True, block_q=bq, block_k=bk,
-            )
-            return jnp.sum((o * o).astype(jnp.float32))
-
-        fn = (
-            jax.grad(loss, argnums=(0, 1, 2))
-            if mode == "fwdbwd"
-            else loss
+    for kind, N, H, D, V in REGISTRY:
+        Np = _bucket_n(N)
+        lengths = jnp.asarray(
+            np.clip(rng.integers(max(1, N // 8), N + 1, size=(B,)), 1, N),
+            jnp.int32,
         )
+        q = jnp.asarray(
+            rng.standard_normal((B, N, H, D), np.float32) * 0.1, dtype
+        )
+        k = jnp.asarray(
+            rng.standard_normal((B, N, H, D), np.float32) * 0.1, dtype
+        )
+        v = jnp.asarray(
+            rng.standard_normal((B, N, H, V), np.float32) * 0.1, dtype
+        )
+        alpha = 1.0 / D**0.5
+        lens = np.asarray(lengths, np.float64)
+        fwd_flops = float((2.0 * H * (D + V) * lens**2 / 2.0).sum())
 
-        def make_loop(n):
-            @jax.jit
-            def f(q, k, v):
-                def body(i, c):
-                    r = fn(q, k, v, lengths + c)
-                    if mode == "fwdbwd":
-                        return _dep(r[0]) + _dep(r[1])
-                    return _dep(r) + c * 0
+        if kind == "delta":
+            cands = [(0, bk) for bk in _DELTA_CANDIDATES if _divides(bk, Np)]
+        else:
+            cands = [
+                (bq, bk)
+                for bq, bk in _CANDIDATES
+                if _divides(bq, Np) and _divides(bk, Np)
+            ]
 
-                return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+        best_t, best_cfg = float("inf"), None
+        for bq, bk in cands:
+            if kind == "delta":
+                M = min(128, max(8, N // 8))
+                total_flops = float(
+                    (2.0 * H * (D + V) * M * lens).sum()
+                )
 
-            return functools.partial(f, q, k, v)
+                def fn(q, k, v, lens_):
+                    return ha.delta_hstu_mha_pallas(
+                        q[:, -M:], k, v, lens_, alpha=alpha, block_k=bk
+                    )
 
-        try:
-            t = _diff_time(make_loop)
-            print(f"bq={bq:4d} bk={bk:4d}: {t*1e6:8.1f} us  "
-                  f"{total_flops/t/1e12:6.2f} TF/s", flush=True)
-        except Exception as e:
-            print(f"bq={bq:4d} bk={bk:4d}: FAIL {str(e)[:120]}", flush=True)
+            elif kind == "relbias":
+                total_flops = fwd_flops * 3.5
+                ts = jnp.cumsum(
+                    jnp.asarray(rng.integers(1, 1000, (B, N)), jnp.int32),
+                    axis=1,
+                )
+                pos_w = jnp.asarray(
+                    rng.standard_normal((2 * N - 1,), np.float32) * 0.02
+                )
+                ts_w = jnp.asarray(
+                    rng.standard_normal((129,), np.float32) * 0.02
+                )
+
+                def loss(q_, k_, v_, lens_):
+                    o = rb.hstu_mha_dense_pallas_relbias(
+                        q_, k_, v_, lens_, ts, pos_w, ts_w, alpha=alpha,
+                        max_seq_len=N, causal=True, block_q=bq, block_k=bk,
+                    )
+                    return jnp.sum((o * o).astype(jnp.float32))
+
+                fn = jax.grad(loss, argnums=(0, 1, 2))
+            else:
+                total_flops = fwd_flops * 3.5
+
+                def loss(q_, k_, v_, lens_):
+                    o = ha.hstu_mha_dense_pallas(
+                        q_, k_, v_, lengths=lens_, alpha=alpha,
+                        max_seq_len=N, causal=True, block_q=bq, block_k=bk,
+                    )
+                    return jnp.sum((o * o).astype(jnp.float32))
+
+                fn = jax.grad(loss, argnums=(0, 1, 2))
+
+            def make_loop(n):
+                @jax.jit
+                def f(q, k, v):
+                    def body(i, c):
+                        r = fn(q, k, v, lengths + c)
+                        if isinstance(r, tuple):
+                            return _dep(r[0]) + _dep(r[1])
+                        return _dep(r)
+
+                    return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+                return functools.partial(f, q, k, v)
+
+            try:
+                t = _diff_time(make_loop)
+                print(
+                    f"{kind:7s} N{N:4d} H{H} D{D:3d} V{V:3d} "
+                    f"bq={bq:4d} bk={bk:4d}: {t*1e6:8.1f} us  "
+                    f"{total_flops/t/1e12:6.2f} TF/s",
+                    flush=True,
+                )
+                if t < best_t:
+                    best_t, best_cfg = t, (bq, bk)
+            except Exception as e:
+                print(
+                    f"{kind:7s} N{N:4d} H{H} D{D:3d} V{V:3d} "
+                    f"bq={bq:4d} bk={bk:4d}: FAIL {str(e)[:110]}",
+                    flush=True,
+                )
+        if best_cfg is not None:
+            factory[_key(kind, N, H, D, V, dtype)] = best_cfg
+
+    print("\nFACTORY = {")
+    for key in sorted(factory):
+        print(f'    "{key}": {factory[key]},')
+    print("}")
 
 
 if __name__ == "__main__":

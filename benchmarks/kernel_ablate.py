@@ -92,7 +92,7 @@ def main():
 
     # "" = production (tanh sigmoid + interior fast path); logistic /
     # nointerior revert the two measured-default lowerings for A/B
-    for ablate in ["", "logistic", "nointerior", "logistic,nointerior", "nosig", "nomask", "nowhere", "nosig,nomask", "bf16act"]:
+    for ablate in ["", "nobsplit", "logistic", "nointerior,nobsplit", "nosig", "nomask", "nowhere", "nosig,nomask", "bf16act", "pack2"]:
         os.environ["GR_TPU_KERNEL_ABLATE"] = ablate
 
         def loss(q, k, v, lens):
@@ -108,10 +108,13 @@ def main():
             @jax.jit
             def f(q, k, v):
                 def body(i, c):
-                    r = fn(q, k, v, lengths + c * 0)
+                    # carry feeds a real operand (bench.py pattern): c is 0
+                    # at runtime but XLA cannot prove it, so the body is not
+                    # loop-invariant and cannot be hoisted (r4 verdict weak#3)
+                    r = fn(q, k, v, lengths + c)
                     if mode == "fwdbwd":
                         return _dep(r[0]) + _dep(r[1])
-                    return _dep(r) + c * 0
+                    return _dep(r)
 
                 return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 

@@ -78,7 +78,9 @@ def main() -> None:
     # 855k-item table stays as frozen — the corpus just occupies a prefix
     num_items = args.num_items
     if num_items == 0:
-        probe = [int(ds.get_row(i)["history_ids"].max()) for i in range(64)]
+        probe = [
+            int(ds.get_row(i)["historical_ids"].max()) for i in range(64)
+        ]
         num_items = max(cfg.model.num_items, max(probe) + 1)
     overrides = dict(
         stochastic_length_alpha=args.sl_alpha,
@@ -86,6 +88,11 @@ def main() -> None:
             int(x) for x in args.buckets.split(",") if x
         ),
         num_workers=args.num_workers,
+        # rematerialize the sampled-softmax loss (the reference's
+        # `losses/sampled_softmax.py:170-175` activation checkpointing):
+        # at B=96/N=511/855k items the saved negative-embedding gather is
+        # what pushed HBM 379 MB over capacity
+        loss_activation_checkpoint=True,
         model=dataclasses.replace(
             cfg.model,
             num_items=num_items,

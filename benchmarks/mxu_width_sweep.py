@@ -107,7 +107,8 @@ def main():
             @jax.jit
             def f(q, k, v):
                 def body(i, c):
-                    r = fn(q, k, v, lengths + c * 0)
+                    # carry feeds a real operand so the body can't be hoisted
+                    r = fn(q, k, v, lengths + c)
                     return _dep(r[0]) + _dep(r[1])
 
                 return jax.lax.fori_loop(0, n, body, jnp.int32(0))

@@ -112,8 +112,12 @@ RESEARCH_PRESETS: Dict[str, TrainConfig] = {
         dqk=8, dv=8, negatives=512, epochs=201,
     ),
     # ml-3b (`configs/ml-3b/*-final.gin`)
+    # attn_kernel="auto": at N=511 the bias path rides the in-kernel
+    # rel-bias Pallas kernel (1.90x over the materializing XLA fallback at
+    # N=512/B=32, benchmarks/tpu_r5_results/relbias_512.log)
     "ml-3b/hstu-sampled-softmax-n96-seqlen500-large": _mk(
         "ml-3b", "HSTU", seq_len=500, dim=256, blocks=16, heads=8,
         dqk=32, dv=32, negatives=128, batch=96, epochs=100,
+        attn_kernel="auto",
     ),
 }

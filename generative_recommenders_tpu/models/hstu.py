@@ -198,10 +198,22 @@ class SequentialTransductionUnit(nn.Module):
         tbl_len = self.max_total_seq_len or N
         attn_kernel = self.attn_kernel
         if attn_kernel == "auto":
-            # fused XLA attention wins below N~512 on v5e (per-step grid
-            # overhead dominates the Pallas path at short N); the flash
-            # kernel wins ~2.7x at N>=1024 — measured in benchmarks/
-            attn_kernel = "pallas" if N >= 512 else "xla"
+            # Two measured thresholds (v5e, benchmarks/tpu_r5_results):
+            #  * no-bias path: fused XLA attention wins below N~512 (per-step
+            #    grid overhead dominates the Pallas path at short N); the
+            #    flash kernel wins ~2.7x at N>=1024.
+            #  * rel-bias path: the XLA fallback materializes [B, N, N] f32
+            #    bias + S residuals, so the in-kernel bias wins much earlier
+            #    (1.90x step time at N=512/B=32; XLA OOMs outright at
+            #    N=1024/B=32) — gate at N>=256.
+            bias_path = (
+                self.normalization in ("rel_bias", "hstu_rel_bias")
+                and self.enable_relative_attention_bias
+                and all_timestamps is not None
+            )
+            attn_kernel = (
+                "pallas" if N >= (256 if bias_path else 512) else "xla"
+            )
 
         # the flagship path: time+position rel bias computed INSIDE the
         # flash kernel (fwd + bwd) — nothing [B, N, N] is ever built

@@ -44,10 +44,22 @@ _DELTA_CANDIDATES = [64, 128, 256, 512]  # delta kernel only tiles KV
 
 # Winners measured on v5e (benchmarks/attn_tune.py, fwd+bwd, bf16):
 # key -> (block_q, block_k). Keys use the padded N bucket (see _bucket_n).
+# NOTE: entries in build/attn_blocks.json are RUNTIME-cached side effects of
+# one-shot sweeps on whatever machine ran them — only entries here, measured
+# by the committed attn_tune.py sweep log, count as tuned-and-committed.
 FACTORY: Dict[str, Tuple[int, int]] = {
+    # measured 2026-08-20 (benchmarks/tpu_r5_results/attn_tune.log)
+    "delta:N1152:H4:D128:V128:bfloat16": (0, 64),
+    "delta:N640:H4:D128:V128:bfloat16": (0, 128),
+    "mha:N1024:H4:D64:V64:bfloat16": (256, 512),
+    "mha:N1152:H4:D128:V128:bfloat16": (128, 128),
     "mha:N2048:H4:D64:V64:bfloat16": (256, 512),
-    "mha:N1024:H4:D64:V64:bfloat16": (256, 256),
+    "mha:N256:H8:D32:V32:bfloat16": (128, 256),
     "mha:N512:H4:D64:V64:bfloat16": (256, 256),
+    "mha:N640:H4:D128:V128:bfloat16": (128, 128),
+    "mha:N640:H8:D32:V32:bfloat16": (128, 128),
+    "relbias:N1152:H8:D32:V32:bfloat16": (128, 128),
+    "relbias:N640:H8:D32:V32:bfloat16": (128, 128),
 }
 
 _lock = threading.Lock()
@@ -85,10 +97,13 @@ def _save_runtime() -> None:
 
 
 def _bucket_n(N: int) -> int:
-    """The kernel pads N to a multiple of 128; bucket on the padded value."""
+    """The mha kernel pads N >= 256 to a multiple of 256 (128/8 below);
+    bucket on the padded value."""
     if N < 128:
         return N + ((-N) % 8)
-    return N + ((-N) % 128)
+    if N < 256:
+        return N + ((-N) % 128)
+    return N + ((-N) % 256)
 
 
 def _key(kind: str, N: int, H: int, D: int, V: int, dtype) -> str:
@@ -255,7 +270,9 @@ def _sweep(
                 @jax.jit
                 def f(q, k, v):
                     def body(i, c):
-                        r = fn(q, k, v, lengths + c * 0)
+                        # carry must feed a real operand or XLA hoists the
+                        # body out of the loop (r4 verdict weak #3)
+                        r = fn(q, k, v, lengths + c)
                         if isinstance(r, tuple):
                             return c + _dep(r[0])
                         return c + _dep(r)
