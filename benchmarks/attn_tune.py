@@ -86,7 +86,7 @@ def main():
     factory = {}
 
     for kind, N, H, D, V in REGISTRY:
-        Np = _bucket_n(N)
+        Np = _bucket_n(N, kind)
         lengths = jnp.asarray(
             np.clip(rng.integers(max(1, N // 8), N + 1, size=(B,)), 1, N),
             jnp.int32,
@@ -106,6 +106,14 @@ def main():
 
         if kind == "delta":
             cands = [(0, bk) for bk in _DELTA_CANDIDATES if _divides(bk, Np)]
+        elif kind == "mha":
+            # the two-tier forward frees bk from the divide-N rule (the
+            # bwd halves bk internally when needed); only bq tiles the grid
+            cands = [
+                (bq, bk)
+                for bq, bk in _CANDIDATES
+                if _divides(bq, Np) and bk % 128 == 0
+            ]
         else:
             cands = [
                 (bq, bk)

@@ -96,6 +96,11 @@ def main() -> None:
         model=dataclasses.replace(
             cfg.model,
             num_items=num_items,
+            # per-block activation recomputation: the f32 preset's 16 layers
+            # of saved activations put B=96 ~3.8G over HBM even with the
+            # loss checkpointed (the reference trains big models with the
+            # same trade — STULayerConfig recompute_* flags)
+            remat=True,
             attn_kernel=args.attn_kernel
             or ("pallas" if jax.default_backend() == "tpu" else "xla"),
             **(

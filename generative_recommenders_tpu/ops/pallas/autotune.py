@@ -48,16 +48,21 @@ _DELTA_CANDIDATES = [64, 128, 256, 512]  # delta kernel only tiles KV
 # one-shot sweeps on whatever machine ran them — only entries here, measured
 # by the committed attn_tune.py sweep log, count as tuned-and-committed.
 FACTORY: Dict[str, Tuple[int, int]] = {
-    # measured 2026-08-20 (benchmarks/tpu_r5_results/attn_tune.log)
-    "delta:N1152:H4:D128:V128:bfloat16": (0, 64),
-    "delta:N640:H4:D128:V128:bfloat16": (0, 128),
+    # measured 2026-08-20 under the final dispatch policy
+    # (benchmarks/tpu_r5_results/attn_tune_c.log, cross-checked against
+    # attn_tune.log/attn_tune_b.log; sub-10us delta differentials are
+    # noise-dominated, so delta keeps the robust mid block). Highlights:
+    # the serving bucket (uih 1024 + cands -> N1280) runs 51.9 TF/s at
+    # (128, 256) vs 36.8 when N=1152 locked blocks to 128.
+    "delta:N1280:H4:D128:V128:bfloat16": (0, 128),
+    "delta:N768:H4:D128:V128:bfloat16": (0, 128),
     "mha:N1024:H4:D64:V64:bfloat16": (256, 512),
-    "mha:N1152:H4:D128:V128:bfloat16": (128, 128),
+    "mha:N1280:H4:D128:V128:bfloat16": (128, 256),
     "mha:N2048:H4:D64:V64:bfloat16": (256, 512),
     "mha:N256:H8:D32:V32:bfloat16": (128, 256),
     "mha:N512:H4:D64:V64:bfloat16": (256, 256),
-    "mha:N640:H4:D128:V128:bfloat16": (128, 128),
-    "mha:N640:H8:D32:V32:bfloat16": (128, 128),
+    "mha:N768:H4:D128:V128:bfloat16": (128, 256),
+    "mha:N768:H8:D32:V32:bfloat16": (128, 256),
     "relbias:N1152:H8:D32:V32:bfloat16": (128, 128),
     "relbias:N640:H8:D32:V32:bfloat16": (128, 128),
 }
@@ -96,23 +101,25 @@ def _save_runtime() -> None:
         pass
 
 
-def _bucket_n(N: int) -> int:
-    """The mha kernel pads N >= 256 to a multiple of 256 (128/8 below);
-    bucket on the padded value."""
+def _bucket_n(N: int, kind: str = "mha") -> int:
+    """Bucket on each kernel's own padded length: mha and delta pad
+    N >= 256 to 256-multiples; relbias pads to 128-multiples (measured:
+    the extra 256-padding cost the ml-3b relbias shape ~16%,
+    benchmarks/tpu_r5_results/attn_tune_b.log)."""
     if N < 128:
         return N + ((-N) % 8)
-    if N < 256:
+    if N < 256 or kind == "relbias":
         return N + ((-N) % 128)
     return N + ((-N) % 256)
 
 
 def _key(kind: str, N: int, H: int, D: int, V: int, dtype) -> str:
-    return f"{kind}:N{_bucket_n(N)}:H{H}:D{D}:V{V}:{jnp.dtype(dtype).name}"
+    return f"{kind}:N{_bucket_n(N, kind)}:H{H}:D{D}:V{V}:{jnp.dtype(dtype).name}"
 
 
 def heuristic_blocks(kind: str, N: int) -> Tuple[int, int]:
     """The pre-autotuner static rule (measured round 2)."""
-    Np = _bucket_n(N)
+    Np = _bucket_n(N, kind)
     if kind == "delta":
         return (0, 256)
     if kind == "relbias":
@@ -146,7 +153,7 @@ def get_blocks(
         and os.environ.get("GR_TPU_ATTN_AUTOTUNE", "on").lower()
         not in ("off", "0")
         and jax.default_backend() == "tpu"
-        and _bucket_n(N) >= 256  # tiny shapes: not worth a sweep
+        and _bucket_n(N, kind) >= 256  # tiny shapes: not worth a sweep
     ):
         with _lock:
             if key in _load_runtime() or key in _failed:
@@ -198,7 +205,7 @@ def _sweep(
     """One-time on-device sweep; returns the fastest legal candidate."""
     from generative_recommenders_tpu.ops.pallas import hstu_attention as ha
 
-    Np = _bucket_n(N)
+    Np = _bucket_n(N, kind)
     B = max(2, min(B, 8))  # clamp the sweep batch: timing, not capacity
     rng = np.random.default_rng(0)
     lengths = jnp.asarray(

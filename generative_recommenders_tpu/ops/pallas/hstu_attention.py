@@ -196,17 +196,22 @@ def _fwd_kernel_rkv(
     if causal and contextual_seq_len == 0:
         kv_limit = jnp.minimum(kv_limit, row0 + bq)
 
-    # Two-tier KV walk ("bsplit", the default on the plain causal path):
-    # the old per-chunk interior check wasted ~1.8x matmul area on the
-    # causal diagonal at bq256/bk512 — every boundary chunk computed a full
-    # [bq, bk] tile with ~half the columns dead. Tier 1 walks the WIDE
-    # chunks whose every column is provably live for every live row
-    # (col < min(row0 + 1, length) => col <= row0 <= row and col < length):
-    # no mask is built, no selects run, and dead q rows are squashed once
-    # at the flush. Tier 2 walks the remaining diagonal columns in 128-wide
-    # masked sub-chunks, so dead area per q block drops from O(bq*bk) to
-    # O(bq*128). This also removes the bk-divides-N restriction on this
-    # path (tier bounds come from scalars, not the grid).
+    # Two-tier KV walk ("bsplit"): tier 1 walks the WIDE chunks whose every
+    # column is provably live for every live row (col < min(row0+1, length)
+    # => col <= row0 <= row and col < length) with no mask and no selects;
+    # tier 2 walks the remaining diagonal columns in 128-wide masked
+    # sub-chunks. Because the tier bounds come from scalars — not the grid —
+    # bk need not divide N on this path.
+    #
+    # Measured (benchmarks/tpu_r5_results/ablate_fwd_b.log): at the bench
+    # shape, where bk divides N, the saved diagonal dead-area is fully
+    # eaten by per-sub-chunk costs (the [bq, V] accumulator RMW and mask
+    # are paid per 128-chunk): 32.9 vs 35.6 TF/s — so the wide-chunk walk
+    # stays the default there. bsplit's win is the non-dividing-N shapes
+    # (serving N=1280, ml-3b N=512+pad), where the legacy path would have
+    # to shrink blocks to gcd(N, bk); there it is the default. Tokens:
+    # "bsplit" forces it on, "nobsplit" off.
+    N_res = k_ref.shape[2]
     bsplit = (
         "nobsplit" not in ablate
         and "pack2" not in ablate
@@ -218,6 +223,7 @@ def _fwd_kernel_rkv(
         and not has_bias
         and bk % 128 == 0
         and bk > 128
+        and (N_res % bk != 0 or "bsplit" in ablate)
     )
 
     @pl.when(row0 < length)
@@ -422,13 +428,18 @@ def _bwd_fused_kernel_rkv(
     dk_acc[...] = jnp.zeros_like(dk_acc)
     dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    # Two-tier q-block walk (see _fwd_kernel_rkv): diagonal q blocks are
-    # processed in 128-wide masked column sub-chunks, interior blocks at
-    # full width with no mask, tail blocks (rows beyond length) at full
-    # width with a [bq, 1] row guard — dead area per kv chunk drops from
-    # O(bq*bk) to O(bq*128).
+    # Two-tier q-block walk (see _fwd_kernel_rkv): diagonal q blocks in
+    # 128-wide masked column sub-chunks, interior blocks full-width
+    # maskless, tail blocks full-width with a [bq, 1] row guard.
+    # MEASURED-OFF by default (opt-in via the "bsplit" token): the backward
+    # pays a [bq, D] f32 dq-accumulator RMW per head per sub-chunk, which
+    # swamps the saved dead area — 28.7 vs 37.6 TF/s fwd+bwd at the bench
+    # shape (benchmarks/tpu_r5_results/ablate_fwdbwd_b.log). The backward
+    # grid always tiles dk/dv at a dividing bk, so unlike the forward there
+    # is no non-dividing-N case where this path is forced.
     bsplit = (
-        "nobsplit" not in ablate
+        "bsplit" in ablate
+        and "nobsplit" not in ablate
         and "nomask" not in ablate
         and causal
         and not has_targets
@@ -1526,7 +1537,10 @@ def delta_hstu_mha_pallas(
         if num_targets is None
         else num_targets.astype(jnp.int32)
     )
-    N_orig, N_pad = N, (-N) % (128 if N >= 128 else 8)
+    # pad to the same buckets as the mha kernel (autotune._bucket_n) so the
+    # FACTORY winners measured at the padded shape actually apply
+    N_orig = N
+    N_pad = (-N) % (256 if N >= 256 else (128 if N >= 128 else 8))
     if N_pad:
         pad4 = ((0, 0), (0, N_pad), (0, 0), (0, 0))
         k, v = jnp.pad(k, pad4), jnp.pad(v, pad4)

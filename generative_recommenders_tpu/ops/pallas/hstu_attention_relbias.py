@@ -598,7 +598,9 @@ def hstu_mha_dense_pallas_relbias(
         else num_targets.astype(jnp.int32)
     )
     # pad N to a 128 multiple (gathers are lane-chunked); padded rows/cols
-    # are beyond every length => masked dead
+    # are beyond every length => masked dead. Measured: padding further to
+    # 256-multiples cost the ml-3b shape ~16% (attn_tune_b.log), so the
+    # relbias buckets stay on the 128 rule (autotune._bucket_n kind-aware)
     N_orig = N
     N_pad = (-N) % 128
     if N_pad:
