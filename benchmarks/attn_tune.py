@@ -181,7 +181,13 @@ def main():
                 return functools.partial(f, q, k, v)
 
             try:
-                t = _diff_time(make_loop)
+                # delta iterations are ~30x cheaper than a fwd+bwd step:
+                # scale the differential so it stays above relay jitter
+                # (attn_tune_c's sub-10us delta rows were noise)
+                if kind == "delta":
+                    t = _diff_time(make_loop, lo=100, hi=900, reps=3)
+                else:
+                    t = _diff_time(make_loop)
                 print(
                     f"{kind:7s} N{N:4d} H{H} D{D:3d} V{V:3d} "
                     f"bq={bq:4d} bk={bk:4d}: {t*1e6:8.1f} us  "

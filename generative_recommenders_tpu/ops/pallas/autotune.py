@@ -49,19 +49,19 @@ _DELTA_CANDIDATES = [64, 128, 256, 512]  # delta kernel only tiles KV
 # by the committed attn_tune.py sweep log, count as tuned-and-committed.
 FACTORY: Dict[str, Tuple[int, int]] = {
     # measured 2026-08-20 under the final dispatch policy
-    # (benchmarks/tpu_r5_results/attn_tune_c.log, cross-checked against
-    # attn_tune.log/attn_tune_b.log; sub-10us delta differentials are
-    # noise-dominated, so delta keeps the robust mid block). Highlights:
-    # the serving bucket (uih 1024 + cands -> N1280) runs 51.9 TF/s at
-    # (128, 256) vs 36.8 when N=1152 locked blocks to 128.
-    "delta:N1280:H4:D128:V128:bfloat16": (0, 128),
-    "delta:N768:H4:D128:V128:bfloat16": (0, 128),
+    # (benchmarks/tpu_r5_results/attn_tune_d.log — noise-proof delta loop
+    # counts — cross-checked against attn_tune.log/_b/_c). Highlights: the
+    # serving bucket (uih 1024 + cands -> N1280) runs 73.3 TF/s at
+    # (256, 256) vs 36.8 when N=1152 locked blocks to 128; delta decode
+    # sustains 57 TF/s at (0, 256).
+    "delta:N1280:H4:D128:V128:bfloat16": (0, 256),
+    "delta:N768:H4:D128:V128:bfloat16": (0, 256),
     "mha:N1024:H4:D64:V64:bfloat16": (256, 512),
-    "mha:N1280:H4:D128:V128:bfloat16": (128, 256),
+    "mha:N1280:H4:D128:V128:bfloat16": (256, 256),
     "mha:N2048:H4:D64:V64:bfloat16": (256, 512),
     "mha:N256:H8:D32:V32:bfloat16": (128, 256),
     "mha:N512:H4:D64:V64:bfloat16": (256, 256),
-    "mha:N768:H4:D128:V128:bfloat16": (128, 256),
+    "mha:N768:H4:D128:V128:bfloat16": (256, 256),
     "mha:N768:H8:D32:V32:bfloat16": (128, 256),
     "relbias:N1152:H8:D32:V32:bfloat16": (128, 128),
     "relbias:N640:H8:D32:V32:bfloat16": (128, 128),

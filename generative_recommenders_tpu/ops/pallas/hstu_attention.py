@@ -628,7 +628,15 @@ def _bwd_fused_kernel_rkv(
 # the old unpadded formula scored as 5.2 MB — so the bwd limit (11 MB,
 # = the bench shape's 10.5 MB padded footprint plus headroom) now evicts it
 # to the tiled 3-D-grid kernels.
+# DUAL gate: the padded-bytes bound rejects shapes whose lane padding blows
+# VMEM (D=32 pads 4x — the r4 H8/D32/N2048 Mosaic crash), while the
+# nominal-bytes bound keeps the round-3-measured envelope for shapes with
+# no padding inflation (D,V >= 128 and/or f32) — raising only the padded
+# limit silently admitted f32 D=128 N=1280 to the resident backward, which
+# needs 17.5 MB of scoped VMEM against the 16 MB limit
+# (benchmarks/tpu_r5_results/mfalcon_e.log uih=1024/M=40 compile crash).
 _RESIDENT_BYTES_LIMIT = 8 * 1024 * 1024
+_RESIDENT_BYTES_LIMIT_NOMINAL = 4 * 1024 * 1024
 
 
 def _lane_pad(d: int) -> int:
@@ -637,21 +645,30 @@ def _lane_pad(d: int) -> int:
 
 def _use_resident(H: int, N: int, D: int, V: int, itemsize: int) -> bool:
     padded = H * N * (_lane_pad(D) + _lane_pad(V)) * itemsize
-    return padded <= _RESIDENT_BYTES_LIMIT
+    nominal = H * N * (D + V) * itemsize
+    return (
+        padded <= _RESIDENT_BYTES_LIMIT
+        and nominal <= _RESIDENT_BYTES_LIMIT_NOMINAL
+    )
 
 
 # the backward's per-step residency (q + do + dq out + f32 dq accumulator)
 # is ~2.6x the forward's K/V, so it gets a proportionally larger budget;
-# both leave ~2x headroom for pipeline double-buffering in VMEM
+# both leave headroom for tiles + pipeline double-buffering in VMEM
 _RESIDENT_BYTES_LIMIT_BWD = 11 * 1024 * 1024
+_RESIDENT_BYTES_LIMIT_BWD_NOMINAL = 6 * 1024 * 1024
 
 
 def _use_resident_bwd(H: int, N: int, D: int, V: int, itemsize: int) -> bool:
     # resident per step: q + do rows ((D+V)*itemsize), the dq output row
-    # (D*itemsize), and the f32 dq accumulator (D*4) — all lane-padded
+    # (D*itemsize), and the f32 dq accumulator (D*4)
     Dp, Vp = _lane_pad(D), _lane_pad(V)
-    per_row = (Dp + Vp) * itemsize + Dp * itemsize + Dp * 4
-    return H * N * per_row <= _RESIDENT_BYTES_LIMIT_BWD
+    padded = H * N * ((Dp + Vp) * itemsize + Dp * itemsize + Dp * 4)
+    nominal = H * N * ((D + V) * itemsize + D * itemsize + D * 4)
+    return (
+        padded <= _RESIDENT_BYTES_LIMIT_BWD
+        and nominal <= _RESIDENT_BYTES_LIMIT_BWD_NOMINAL
+    )
 
 
 # =============================================================== forward ====
