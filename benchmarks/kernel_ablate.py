@@ -92,7 +92,7 @@ def main():
 
     # "" = production (tanh sigmoid + interior fast path); logistic /
     # nointerior revert the two measured-default lowerings for A/B
-    for ablate in ["", "nobsplit", "logistic", "nointerior,nobsplit", "nosig", "nomask", "nowhere", "nosig,nomask", "bf16act", "pack2"]:
+    for ablate in ["", "bsplit", "logistic", "nointerior", "nosig", "nomask", "nowhere", "nosig,nomask", "bf16act", "pack2"]:
         os.environ["GR_TPU_KERNEL_ABLATE"] = ablate
 
         def loss(q, k, v, lens):

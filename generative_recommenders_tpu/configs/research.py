@@ -36,7 +36,10 @@ def _mk(
     negatives: int = 128,
     batch: int = 128,
     epochs: int = 101,
-    attn_kernel: str = "xla",
+    # "auto" = measured dispatch thresholds (models/hstu.py): XLA below
+    # N=512 (256 on the bias path), Pallas above — a no-op for the frozen
+    # short-N presets, and the in-kernel rel-bias path for long-N ones
+    attn_kernel: str = "auto",
 ) -> TrainConfig:
     return TrainConfig(
         model=ModelConfig(

@@ -208,3 +208,69 @@ def test_residency_selection():
     assert pa._use_resident(4, 4096, 64, 64, 2)       # fwd still resident
     assert not pa._use_resident_bwd(4, 4096, 64, 64, 2)  # bwd -> 3-D grid
     assert not pa._use_resident(4, 8192, 64, 64, 2)
+
+
+def test_residency_dual_gate_r5():
+    """Round-5 regressions pinned:
+    - H8/D32 long-N must NOT be resident (lane padding blows VMEM — the
+      r4 Mosaic compile crash);
+    - f32 D=128 N=1280 must NOT take the resident backward (17.5 MB scoped
+      VMEM vs the 16 MB limit — the uih=1024/M=40 serving crash);
+    - the serving bf16 shapes must STAY resident (the 73 TF/s bucket)."""
+    from generative_recommenders_tpu.ops.pallas import hstu_attention as pa
+
+    assert not pa._use_resident(8, 2048, 32, 32, 2)
+    assert not pa._use_resident_bwd(8, 2048, 32, 32, 2)
+    assert not pa._use_resident_bwd(4, 1280, 128, 128, 4)
+    # serving bf16: resident fwd; the bwd has always run the split path
+    # (6.55 MB nominal vs the 6 MB measured envelope) — the 73 TF/s bucket
+    # was measured with exactly this dispatch
+    assert pa._use_resident(4, 1280, 128, 128, 2)
+    assert not pa._use_resident_bwd(4, 1280, 128, 128, 2)
+    assert pa._use_resident(8, 640, 32, 32, 2)  # ml-3b stays resident
+
+
+def test_two_tier_nondividing_bk_matches_spec():
+    """The two-tier forward engages when block_k does not divide the padded
+    N (N=1152 pads to 1280; bk=512 does not divide) and must match the XLA
+    spec bit-for-bit-ish in both directions — the legacy path would have
+    halved bk instead."""
+    import jax
+
+    from generative_recommenders_tpu.ops.pallas.hstu_attention import (
+        hstu_mha_dense_pallas,
+    )
+    from generative_recommenders_tpu.ops.xla.hstu_attention import (
+        hstu_mha_dense,
+    )
+
+    B, N, H, D = 2, 1152, 2, 64
+    rng = np.random.default_rng(11)
+    lengths = jnp.asarray([1152, 700], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, N, H, D)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, N, H, D)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, N, H, D)) * 0.3, jnp.float32)
+    mask_rows = jnp.arange(N)[:, None] >= jnp.arange(N)[None, :]
+    valid = jnp.arange(N)[None, :] < lengths[:, None]
+    mask = mask_rows[None] & valid[:, :, None] & valid[:, None, :]
+
+    def loss_p(q, k, v):
+        o = hstu_mha_dense_pallas(
+            q, k, v, lengths=lengths, alpha=0.125, max_seq_len=N,
+            causal=True, block_q=256, block_k=512, interpret=True,
+        )
+        return jnp.sum(o * o), o
+
+    def loss_x(q, k, v):
+        o = hstu_mha_dense(q, k, v, alpha=0.125, max_seq_len=N, mask=mask)
+        return jnp.sum(o * o), o
+
+    (_, o_p), g_p = jax.value_and_grad(loss_p, (0, 1, 2), has_aux=True)(q, k, v)
+    (_, o_x), g_x = jax.value_and_grad(loss_x, (0, 1, 2), has_aux=True)(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(o_p), np.asarray(o_x), rtol=2e-4, atol=2e-5
+    )
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=3e-5
+        )
