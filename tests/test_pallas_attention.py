@@ -212,14 +212,15 @@ def test_residency_selection():
 
 def test_residency_dual_gate_r5():
     """Round-5 regressions pinned:
-    - H8/D32 long-N must NOT be resident (lane padding blows VMEM — the
-      r4 Mosaic compile crash);
+    - the H8/D32 long-N BACKWARD must not be resident (21 MB of lane-padded
+      residency — the r4 Mosaic compile crash; the 8 MB-padded forward is
+      chip-verified resident);
     - f32 D=128 N=1280 must NOT take the resident backward (17.5 MB scoped
       VMEM vs the 16 MB limit — the uih=1024/M=40 serving crash);
-    - the serving bf16 shapes must STAY resident (the 73 TF/s bucket)."""
+    - the serving bf16 forward must STAY resident (the 73 TF/s bucket)."""
     from generative_recommenders_tpu.ops.pallas import hstu_attention as pa
 
-    assert not pa._use_resident(8, 2048, 32, 32, 2)
+    assert pa._use_resident(8, 2048, 32, 32, 2)
     assert not pa._use_resident_bwd(8, 2048, 32, 32, 2)
     assert not pa._use_resident_bwd(4, 1280, 128, 128, 4)
     # serving bf16: resident fwd; the bwd has always run the split path
