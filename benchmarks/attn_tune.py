@@ -66,7 +66,7 @@ def main():
         _CANDIDATES, _DELTA_CANDIDATES, _bucket_n, _divides, _key,
     )
 
-    # (kind, N, H, D, V) — every shape a default config can dispatch
+    # (kind, N, H, D, V[, dtype]) — every shape a default config dispatches
     REGISTRY = [
         ("mha", 2048, 4, 64, 64),
         ("mha", 1024, 4, 64, 64),
@@ -75,17 +75,22 @@ def main():
         ("mha", 640, 8, 32, 32),     # ml-3b preset (seq 500 + targets)
         ("mha", 640, 4, 128, 128),   # serving uih 512
         ("mha", 1152, 4, 128, 128),  # serving uih 1024
+        # ml-3b preset's ACTUAL rel-bias shape: runtime N=511 -> bucket
+        # N512, in the preset's default f32 AND the bf16 production dtype
+        ("relbias", 511, 8, 32, 32, jnp.float32),
+        ("relbias", 511, 8, 32, 32),
         ("relbias", 640, 8, 32, 32),
         ("relbias", 1152, 8, 32, 32),
         ("delta", 640, 4, 128, 128),
         ("delta", 1152, 4, 128, 128),
     ]
     B = 8
-    dtype = jnp.bfloat16
     rng = np.random.default_rng(0)
     factory = {}
 
-    for kind, N, H, D, V in REGISTRY:
+    for entry in REGISTRY:
+        kind, N, H, D, V = entry[:5]
+        dtype = entry[5] if len(entry) > 5 else jnp.bfloat16
         Np = _bucket_n(N, kind)
         lengths = jnp.asarray(
             np.clip(rng.integers(max(1, N // 8), N + 1, size=(B,)), 1, N),

@@ -206,11 +206,7 @@ class SequentialTransductionUnit(nn.Module):
             #    bias + S residuals, so the in-kernel bias wins much earlier
             #    (1.90x step time at N=512/B=32; XLA OOMs outright at
             #    N=1024/B=32) — gate at N>=256.
-            bias_path = (
-                self.normalization in ("rel_bias", "hstu_rel_bias")
-                and self.enable_relative_attention_bias
-                and all_timestamps is not None
-            )
+            bias_path = wants_bias and all_timestamps is not None
             attn_kernel = (
                 "pallas" if N >= (256 if bias_path else 512) else "xla"
             )

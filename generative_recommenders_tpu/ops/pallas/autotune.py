@@ -64,6 +64,11 @@ FACTORY: Dict[str, Tuple[int, int]] = {
     "mha:N768:H4:D128:V128:bfloat16": (256, 256),
     "mha:N768:H8:D32:V32:bfloat16": (128, 256),
     "relbias:N1152:H8:D32:V32:bfloat16": (128, 128),
+    # the ml-3b preset's ACTUAL rel-bias bucket (runtime N=511 -> 512), in
+    # the preset's f32 default and the bf16 production dtype
+    # (attn_tune_e.log)
+    "relbias:N512:H8:D32:V32:bfloat16": (256, 256),
+    "relbias:N512:H8:D32:V32:float32": (256, 256),
     "relbias:N640:H8:D32:V32:bfloat16": (128, 128),
 }
 
@@ -219,6 +224,13 @@ def _sweep(
 
     if kind == "delta":
         cands = [(0, bk) for bk in _DELTA_CANDIDATES if _divides(bk, Np)]
+    elif kind == "mha":
+        # the two-tier forward frees bk from the divide-N rule (the bwd
+        # halves bk internally) — same candidate space as attn_tune.py
+        cands = [
+            (bq, bk) for bq, bk in _CANDIDATES
+            if _divides(bq, Np) and bk % 128 == 0
+        ]
     else:
         cands = [
             (bq, bk) for bq, bk in _CANDIDATES

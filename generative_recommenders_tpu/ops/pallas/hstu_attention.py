@@ -1580,6 +1580,8 @@ def delta_hstu_mha_pallas(
 
 
 def delta_pallas_supported(H: int, N: int, D: int, V: int, itemsize: int) -> bool:
-    """True when the resident-KV delta kernel fits VMEM."""
-    Np = N + ((-N) % 128)
+    """True when the resident-KV delta kernel fits VMEM (estimated at the
+    kernel's ACTUAL padded length — 256-multiples from N >= 256, matching
+    delta_hstu_mha_pallas's padding)."""
+    Np = N + ((-N) % (256 if N >= 256 else 128))
     return _use_resident(H, Np, D, V, itemsize)

@@ -762,15 +762,21 @@ def relbias_pallas_supported(
     (the rel-bias kernels have no 3-D-grid fallback — research shapes
     always fit; otherwise dispatch stays on the XLA composite).
 
-    The bwd gate is an envelope calibrated on a measured data point: at
-    H=8, N=640, D=V=32, f32 the row estimate below is 2.62 MB while
-    Mosaic's actual scoped allocation is 22.52 MB (an ~8.6x hidden
-    multiplier from pipeline double-buffering, k/v/dk/dv tiles, and
-    gather temporaries). With ``_VMEM_LIMIT_BYTES`` = 100 MB the safe
+    Budgets are the rel-bias kernels' OWN (they run at
+    ``_VMEM_LIMIT_BYTES`` = 100 MB scoped VMEM, not the mha kernels'
+    16 MB default — round-5 review flagged that sharing the mha
+    ``_use_resident`` gate here silently pushed long-N shapes onto the
+    materializing-XLA path that OOMs at exactly those lengths). The fwd
+    gate bounds resident K/V at 4 MB nominal (the round-3-measured
+    envelope this gate always enforced); the bwd gate is calibrated on a
+    measured data point: at H=8, N=640, D=V=32, f32 the row estimate
+    below is 2.62 MB while Mosaic's actual scoped allocation is 22.52 MB
+    (an ~8.6x hidden multiplier from pipeline double-buffering, k/v/dk/dv
+    tiles, and gather temporaries). With the 100 MB limit the safe
     estimate ceiling is therefore ~8 MB."""
     Np = _round_up(N, 128)
     per_row_bwd = (D + V) * itemsize + D * itemsize + D * 4
     return (
-        _use_resident(H, Np, D, V, itemsize)
+        H * Np * (D + V) * itemsize <= 4 * 1024 * 1024
         and H * Np * per_row_bwd <= _RELBIAS_BWD_EST_LIMIT
     )
